@@ -1,0 +1,192 @@
+"""Pipeline configuration.
+
+Every tunable constant of the reference pipeline (codebydant/sfM_danPipeline)
+becomes a named field with the reference's default value, per SURVEY.md §5
+("Config / flag system"). Reference provenance is cited per field.
+
+The reference has no live config system: its CLI parser is commented out
+(main.cpp:20-44) and all constants are compile-time literals. Here the whole
+pipeline is driven by one frozen dataclass so that jitted functions can close
+over static values.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """SIFT-style feature detection (reference: src/Sfm.cpp:303-392, OpenCV SIFT defaults)."""
+
+    # Maximum keypoints kept per image (fixed shape for jit; OpenCV default 0 = unlimited,
+    # practical counts on 640x480 are ~1-3k).
+    max_keypoints: int = 2048
+    # Scale-space layout (OpenCV SIFT defaults; reference selects SIFT with
+    # nOctaveLayers=3 at src/Sfm.cpp:315).
+    n_octaves: int = 4
+    n_scales_per_octave: int = 3
+    sigma0: float = 1.6
+    # Assumed blur of the input image (OpenCV SIFT convention).
+    init_blur: float = 0.5
+    # Double the image before the first octave (OpenCV SIFT upsamples by 2x).
+    upsample: bool = True
+    # DoG contrast threshold (reference src/Sfm.cpp:317: contrastThreshold=0.04).
+    contrast_threshold: float = 0.04
+    # Edge response ratio threshold (reference src/Sfm.cpp:318: edgeThreshold=10).
+    edge_threshold: float = 10.0
+    # Descriptor geometry: 4x4 spatial bins x 8 orientations = 128-d (SIFT standard).
+    descriptor_width: int = 4
+    descriptor_bins: int = 8
+    # Orientation histogram bins.
+    orientation_bins: int = 36
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Pairwise descriptor matching (reference: src/Sfm.cpp:590-608)."""
+
+    # Lowe ratio test threshold (reference include/Sfm.h:60: NN_MATCH_RATIO=0.8).
+    ratio: float = 0.8
+    # Minimum ratio-test matches for a usable pair (reference src/Sfm.cpp:533).
+    min_pair_matches: int = 120
+    # Maximum matches kept per pair (fixed shape for jit).
+    max_matches: int = 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometryConfig:
+    """Two-view geometry + RANSAC budgets."""
+
+    # Essential matrix RANSAC (reference src/Sfm.cpp:542,743: p=0.999, thr=1.0 px).
+    essential_ransac_iters: int = 512
+    essential_threshold_px: float = 1.0
+    # Min aligned points to attempt pose (reference src/Sfm.cpp:734: >=8).
+    min_pose_points: int = 8
+    # Homography RANSAC inlier threshold factor (reference src/Sfm.cpp:667-689:
+    # 0.004 * max image dimension).
+    homography_threshold_factor: float = 0.004
+    homography_ransac_iters: int = 256
+    # Triangulation acceptance: reprojection error in both views
+    # (reference src/Sfm.cpp:850: <= 6.0 px).
+    max_reprojection_error_px: float = 6.0
+    # PnP RANSAC (reference src/Sfm.cpp:1153-1154: EPNP, 1000 iters, conf 0.99,
+    # thr 0.006 * max dimension).
+    pnp_ransac_iters: int = 1024
+    pnp_threshold_factor: float = 0.006
+    # Reject PnP poses translated implausibly far (reference src/Sfm.cpp:1175: ||T||<=200).
+    pnp_max_translation: float = 200.0
+    # Point-merge radius during incremental growth (reference src/Sfm.cpp:1216: 0.01).
+    merge_distance: float = 0.01
+    # RANSAC determinism: base PRNG seed (reference relies on OpenCV's RNG; we fix keys
+    # for bitwise reproducibility per SURVEY.md §5 "race detection" note).
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Bundle adjustment (reference: src/BundleAdjustment.cpp:115-121).
+
+    Reference solver: Ceres AutoDiff + DENSE_SCHUR, <=500 iterations, eta 1e-2,
+    <=10 s wall clock, camera = 6-dof angle-axis + t with one shared focal.
+    Ours is a from-scratch Levenberg-Marquardt with Schur elimination of points.
+    """
+
+    max_iterations: int = 50
+    # LM damping schedule.
+    init_lambda: float = 1e-3
+    lambda_up: float = 10.0
+    lambda_down: float = 0.1
+    max_lambda: float = 1e8
+    min_lambda: float = 1e-10
+    # Relative cost-decrease convergence tolerance (Ceres eta=1e-2 analogue).
+    rtol: float = 1e-8
+    # Optimize the shared focal length (reference BundleAdjustment.cpp:79,133).
+    optimize_focal: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MVSConfig:
+    """Dense reconstruction replacing the PMVS2 binary (reference src/Sfm.cpp:1246-1303).
+
+    Reference PMVS2 options (src/Sfm.cpp:1258-1264): level 1, csize 2, threshold 0.7,
+    wsize 7, minImageNum 5 (with 10 images), CPU 4. Ours is a TPU plane-sweep /
+    patch-match depth pipeline with NCC cost and multi-view fusion.
+    """
+
+    n_depth_planes: int = 128
+    window_size: int = 7
+    ncc_threshold: float = 0.7
+    # Half-resolution depth maps (PMVS2 level 1 == one pyramid level down).
+    level: int = 1
+    # Minimum consistent views for a fused point (PMVS2 minImageNum=5 with N=10;
+    # we scale as max(2, n_images // 2) when unset).
+    min_consistent_views: int = 3
+    depth_consistency: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class AnalysisConfig:
+    """Cloud filtering, segmentation, dendrometry (reference src/Sfm.cpp:1323-1345,
+    src/Segmentation.cpp:24-35, src/DendrometryE.cpp)."""
+
+    # PassThrough filter on x in [0.003, 0.83] (reference src/Sfm.cpp:1327-1331).
+    passthrough_axis: str = "x"
+    passthrough_min: float = 0.003
+    passthrough_max: float = 0.83
+    # RadiusOutlierRemoval: radius 0.07, >=150 neighbors (reference src/Sfm.cpp:1337-1343).
+    outlier_radius: float = 0.07
+    outlier_min_neighbors: int = 150
+    # Segmentation PassThrough on z in [0, 14] (reference src/Segmentation.cpp:24-28).
+    seg_z_min: float = 0.0
+    seg_z_max: float = 14.0
+    # RegionGrowingRGB thresholds (reference src/Segmentation.cpp:29-35):
+    # distance 10, point color 6, region color 5, min cluster size 600.
+    seg_distance: float = 10.0
+    seg_point_color: float = 6.0
+    seg_region_color: float = 5.0
+    seg_min_cluster: int = 600
+    # Poisson meshing params (reference src/Sfm.cpp:1360-1381): depth 7, pointWeight 4,
+    # samplesPerNode 1.5, scale 1.1, isoDivide 8, solverDivide 8, normals k=10.
+    mesh_poisson_depth: int = 7
+    mesh_normal_k: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageConfig:
+    """Image loading (reference src/Sfm.cpp:118-198)."""
+
+    # Downscale factor applied when an image exceeds 640x480
+    # (reference src/Sfm.cpp:150-160: resize by 0.6).
+    resize_factor: float = 0.6
+    max_width: int = 640
+    max_height: int = 480
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout for sharded matching and BA (new capability; see SURVEY.md §5
+    'Distributed communication backend')."""
+
+    # Name of the data-parallel mesh axis over which observations / image pairs shard.
+    axis: str = "d"
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
+    matching: MatchConfig = dataclasses.field(default_factory=MatchConfig)
+    geometry: GeometryConfig = dataclasses.field(default_factory=GeometryConfig)
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    mvs: MVSConfig = dataclasses.field(default_factory=MVSConfig)
+    analysis: AnalysisConfig = dataclasses.field(default_factory=AnalysisConfig)
+    images: ImageConfig = dataclasses.field(default_factory=ImageConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    # Maximum 3D points tracked by the incremental engine (fixed capacity for jit).
+    max_points: int = 65536
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,232 @@
+"""All-pairs descriptor matching with Lowe ratio test.
+
+Replaces the reference's BFMatcher L2 kNN (k=2) + ratio-0.8 filter
+(`StructFromMotion::getMatching`, src/Sfm.cpp:590-608; ratio constant
+NN_MATCH_RATIO=0.8 at include/Sfm.h:60).
+
+TPU-first design: the K_a x K_b distance matrix is a 128-deep matmul — MXU
+work. Two implementations with identical semantics:
+
+ - `knn2_jnp`: plain jnp (XLA fuses the matmul + top-2 reduction); the
+   reference implementation for tests.
+ - `knn2_pallas`: a Pallas kernel that tiles rows of A, keeps the distance
+   tile in VMEM, and reduces to (best, second-best) on-chip without ever
+   materializing the K_a x K_b matrix in HBM — the speed-of-light path for
+   the O(N^2 pairs) matching stage (HOT LOOP #1, src/Sfm.cpp:509-583).
+
+Matches are emitted as fixed-shape arrays (max_matches slots + validity),
+the price of jit (SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = 3.4e38  # plain float: jnp scalars would be captured consts in Pallas
+
+
+@dataclasses.dataclass(frozen=True)
+class PairMatches:
+    """Fixed-shape match set for one image pair (leading dims under vmap).
+
+    idx_a, idx_b: (M,) int32 — keypoint indices into each image's set
+    dist:         (M,) float32 — L2 descriptor distance
+    valid:        (M,) bool
+    """
+
+    idx_a: jnp.ndarray
+    idx_b: jnp.ndarray
+    dist: jnp.ndarray
+    valid: jnp.ndarray
+
+    @property
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
+
+
+jax.tree_util.register_dataclass(
+    PairMatches, data_fields=["idx_a", "idx_b", "dist", "valid"], meta_fields=[]
+)
+
+
+# ---------------------------------------------------------------------------
+# Reference jnp implementation
+# ---------------------------------------------------------------------------
+
+
+def knn2_jnp(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """For each row of desc_a (Ka, D): (best_idx, best_dist2, second_dist2)
+    over valid rows of desc_b (Kb, D)."""
+    # squared L2 via the matmul identity; the matmul is the MXU hot op.
+    cross = desc_a @ desc_b.T  # (Ka, Kb)
+    na = jnp.sum(desc_a * desc_a, axis=-1, keepdims=True)
+    nb = jnp.sum(desc_b * desc_b, axis=-1)
+    d2 = jnp.maximum(na + nb[None, :] - 2.0 * cross, 0.0)
+    d2 = jnp.where(valid_b[None, :], d2, _INF)
+    best_idx = jnp.argmin(d2, axis=-1)
+    best = jnp.min(d2, axis=-1)
+    d2_wo = d2.at[jnp.arange(d2.shape[0]), best_idx].set(_INF)
+    second = jnp.min(d2_wo, axis=-1)
+    return best_idx.astype(jnp.int32), best, second
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _knn2_kernel(a_ref, b_ref, nb_ref, out_idx_ref, out_d_ref):
+    """One grid step: TILE_A rows of A against all of B.
+
+    a_ref:  (TILE_A, D) VMEM
+    b_ref:  (Kb, D)     VMEM (full, replicated across grid steps)
+    nb_ref: (1, Kb)     VMEM — precomputed ||b||^2 with invalid rows at +inf
+    out_idx_ref: (TILE_A, 1) int32
+    out_d_ref:   (TILE_A, 2) float32 — (best, second) squared distances
+    """
+    a = a_ref[:]
+    cross = jax.lax.dot_general(
+        a,
+        b_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TILE_A, Kb)
+    na = jnp.sum(a * a, axis=-1, keepdims=True)
+    d2 = jnp.maximum(na + nb_ref[0, :][None, :] - 2.0 * cross, 0.0)
+    # nb carries +inf for invalid columns; the max(…, 0) above would clamp
+    # inf-awareness, so re-add the mask:
+    d2 = jnp.where(nb_ref[0, :][None, :] >= _INF, _INF, d2)
+    best = jnp.min(d2, axis=-1)
+    best_idx = jnp.argmin(d2, axis=-1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    d2_wo = jnp.where(cols == best_idx[:, None], _INF, d2)
+    second = jnp.min(d2_wo, axis=-1)
+    out_idx_ref[:] = best_idx[:, None].astype(jnp.int32)
+    out_d_ref[:] = jnp.stack([best, second], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_a",))
+def knn2_pallas(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    tile_a: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pallas top-2 nearest-neighbor search; semantics identical to
+    `knn2_jnp` (asserted in tests/test_matching.py)."""
+    Ka, D = desc_a.shape
+    Kb = desc_b.shape[0]
+    pad = (-Ka) % tile_a
+    if pad:
+        desc_a = jnp.pad(desc_a, ((0, pad), (0, 0)))
+    nb = jnp.where(
+        valid_b, jnp.sum(desc_b * desc_b, axis=-1), _INF
+    )[None, :]
+
+    grid = (desc_a.shape[0] // tile_a,)
+    # Interpret mode on non-TPU backends (CI runs the simulated CPU mesh).
+    interpret = jax.default_backend() != "tpu"
+    out_idx, out_d = pl.pallas_call(
+        _knn2_kernel,
+        interpret=interpret,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_a, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kb, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_a, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_a, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((desc_a.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((desc_a.shape[0], 2), jnp.float32),
+        ],
+    )(desc_a, desc_b, nb)
+    return (
+        out_idx[:Ka, 0],
+        out_d[:Ka, 0],
+        out_d[:Ka, 1],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-test matching
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches", "use_pallas"))
+def match_pair(
+    desc_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    ratio: float = 0.8,
+    max_matches: int = 1024,
+    use_pallas: bool = False,
+) -> PairMatches:
+    """Ratio-test matches from image a to image b (src/Sfm.cpp:599-607).
+
+    A match (i -> j) is kept when d1 <= ratio * d2 with L2 (not squared)
+    distances, i is valid, and at least 2 valid candidates exist. The best
+    `max_matches` by distance are emitted in fixed-shape slots.
+    """
+    knn = knn2_pallas if use_pallas else knn2_jnp
+    best_idx, best_d2, second_d2 = knn(desc_a, desc_b, valid_b)
+    d1 = jnp.sqrt(best_d2)
+    d2 = jnp.sqrt(jnp.minimum(second_d2, _INF))
+    keep = valid_a & (best_d2 < _INF) & (second_d2 < _INF) & (d1 <= ratio * d2)
+    score = jnp.where(keep, -d1, -_INF)
+    k = min(max_matches, score.shape[0])
+    _, order = jax.lax.top_k(score, k)
+    if k < max_matches:  # keep the fixed output-shape contract
+        order = jnp.pad(order, (0, max_matches - k))
+    pad_mask = jnp.arange(max_matches) < k
+    return PairMatches(
+        idx_a=order.astype(jnp.int32),
+        idx_b=best_idx[order],
+        dist=d1[order],
+        valid=keep[order] & pad_mask,
+    )
+
+
+def match_all_pairs(
+    descriptors: jnp.ndarray,
+    valid: jnp.ndarray,
+    pair_i: jnp.ndarray,
+    pair_j: jnp.ndarray,
+    ratio: float = 0.8,
+    max_matches: int = 1024,
+    use_pallas: bool = False,
+) -> PairMatches:
+    """Batch-match an explicit list of image pairs.
+
+    descriptors: (N, K, D), valid: (N, K); pair_i/pair_j: (P,) image indices.
+    Returns PairMatches with leading dim P. This is the batched form of the
+    reference's O(N^2) matching loop (src/Sfm.cpp:511-533); the pair list is
+    data, so multi-host sharding = sharding pair_i/pair_j (SURVEY.md §5).
+    """
+
+    def one(i, j):
+        return match_pair(
+            descriptors[i],
+            valid[i],
+            descriptors[j],
+            valid[j],
+            ratio=ratio,
+            max_matches=max_matches,
+            use_pallas=use_pallas,
+        )
+
+    return jax.vmap(one)(pair_i, pair_j)

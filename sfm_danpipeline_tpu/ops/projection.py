@@ -1,0 +1,82 @@
+"""Camera projection, undistortion, and reprojection-error primitives.
+
+Replaces cv::projectPoints (reference src/Sfm.cpp:840,847) and
+cv::undistortPoints (src/Sfm.cpp:820-821). Cameras are world-to-camera
+[R | t]: x_cam = R @ X + t, matching the reference's projection-matrix
+convention (src/Sfm.cpp:768-772).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def project(
+    X: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray, K: jnp.ndarray,
+) -> jnp.ndarray:
+    """Project world points into pixels. X: (..., 3) -> (..., 2).
+
+    Distortion is applied by callers only when needed; the bundled temple
+    calibration has zero distortion (data/temple/camera_calibration_template.xml).
+    """
+    x_cam = X @ R.T + t
+    x_n = x_cam[..., :2] / jnp.where(
+        jnp.abs(x_cam[..., 2:3]) < 1e-12, 1e-12, x_cam[..., 2:3]
+    )
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    return jnp.stack(
+        [x_n[..., 0] * fx + cx, x_n[..., 1] * fy + cy], axis=-1
+    )
+
+
+def project_normalized(
+    X: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray
+) -> jnp.ndarray:
+    """Project into normalized camera coordinates (z-divide, no K)."""
+    x_cam = X @ R.T + t
+    return x_cam[..., :2] / jnp.where(
+        jnp.abs(x_cam[..., 2:3]) < 1e-12, 1e-12, x_cam[..., 2:3]
+    )
+
+
+def depths(X: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Camera-frame z of world points (cheirality test input)."""
+    return X @ R.T[:, 2] + t[2]
+
+
+def undistort_points(
+    pts: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray, iters: int = 5
+) -> jnp.ndarray:
+    """Pixels -> normalized camera coords, inverting radial/tangential
+    distortion by fixed-point iteration (cv::undistortPoints semantics,
+    used at src/Sfm.cpp:820-821). pts: (..., 2).
+
+    With zero distortion (the temple dataset) this reduces to K^-1.
+    """
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    x = (pts[..., 0] - cx) / fx
+    y = (pts[..., 1] - cy) / fy
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    x0, y0 = x, y
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (x0 - dx) / radial
+        y = (y0 - dy) / radial
+    return jnp.stack([x, y], axis=-1)
+
+
+def reprojection_error(
+    X: jnp.ndarray,
+    obs: jnp.ndarray,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    K: jnp.ndarray,
+) -> jnp.ndarray:
+    """Euclidean pixel reprojection error per point (reference filter at
+    src/Sfm.cpp:850-860 keeps errors <= 6 px in both views)."""
+    proj = project(X, R, t, K)
+    return jnp.linalg.norm(proj - obs, axis=-1)
