@@ -71,8 +71,11 @@ class GeometryConfig:
     # (reference src/Sfm.cpp:850: <= 6.0 px).
     max_reprojection_error_px: float = 6.0
     # PnP RANSAC (reference src/Sfm.cpp:1153-1154: EPNP, 1000 iters, conf 0.99,
-    # thr 0.006 * max dimension).
-    pnp_ransac_iters: int = 1024
+    # thr 0.006 * max dimension). We use 4096 vmapped hypotheses: the 6-point
+    # DLT minimal sample needs more draws than EPnP's smaller sample to hit
+    # an all-inlier set at high outlier rates, and on TPU the extra
+    # hypotheses are nearly free (one batched pass).
+    pnp_ransac_iters: int = 4096
     pnp_threshold_factor: float = 0.006
     # Reject PnP poses translated implausibly far (reference src/Sfm.cpp:1175: ||T||<=200).
     pnp_max_translation: float = 200.0
@@ -101,8 +104,13 @@ class BAConfig:
     min_lambda: float = 1e-10
     # Relative cost-decrease convergence tolerance (Ceres eta=1e-2 analogue).
     rtol: float = 1e-8
-    # Optimize the shared focal length (reference BundleAdjustment.cpp:79,133).
-    optimize_focal: bool = True
+    # Optimize the shared focal length. The reference's Ceres code does
+    # (BundleAdjustment.cpp:79,133) but its call sites are stubbed out
+    # (src/Sfm.cpp:492,886) so it never actually runs; with a calibrated K
+    # (the pipeline requires a calibration XML) optimizing focal on few-view
+    # problems lets it drift wildly (observed 1520 -> 2069 on the temple
+    # bootstrap). Default off; enable for uncalibrated use.
+    optimize_focal: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,158 @@
+"""Baseline pair selection + two-view bootstrap.
+
+Replaces `findBestPair` + `baseReconstruction` (src/Sfm.cpp:408-585).
+
+Reference semantics: match all C(N,2) pairs, keep pairs with >= 120
+ratio-test matches, score each by essential-matrix pose-inlier ratio
+(src/Sfm.cpp:563-569), then reconstruct from the winning pair. Note: the
+reference iterates its std::map ascending and takes the FIRST surviving
+candidate — i.e. the LOWEST ratio (src/Sfm.cpp:420,489) — an ordering bug;
+we take the argmax and document the divergence (SURVEY.md §7 non-goals).
+
+TPU formulation: all pair scoring is one vmapped computation over the pair
+axis — the batched form of HOT LOOP #1 (src/Sfm.cpp:509-583).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_danpipeline_tpu.config import PipelineConfig
+from sfm_danpipeline_tpu.ops.epipolar import estimate_relative_pose
+from sfm_danpipeline_tpu.ops.matching import PairMatches
+from sfm_danpipeline_tpu.ops.projection import undistort_points
+from sfm_danpipeline_tpu.ops.triangulation import triangulate_and_filter
+from sfm_danpipeline_tpu.pipeline.tracks import (
+    ReconstructionState,
+    add_points,
+)
+import dataclasses
+
+
+class PairScores(NamedTuple):
+    pose_inlier_ratio: jnp.ndarray  # (NP,)
+    n_matches: jnp.ndarray  # (NP,)
+    usable: jnp.ndarray  # (NP,) >= min_pair_matches and pose ok
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def score_pairs(
+    key: jax.Array,
+    matches: PairMatches,  # batched over pairs (leading dim NP)
+    keypoints_xy: jnp.ndarray,  # (V, K, 2)
+    pair_i: jnp.ndarray,
+    pair_j: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    config: PipelineConfig,
+) -> PairScores:
+    """Score all pairs by pose-inlier ratio (vmapped over the pair axis)."""
+    focal = K[0, 0]
+
+    def one(k, m, i, j):
+        pa = keypoints_xy[i, m.idx_a]
+        pb = keypoints_xy[j, m.idx_b]
+        x1 = undistort_points(pa, K, dist)
+        x2 = undistort_points(pb, K, dist)
+        pose = estimate_relative_pose(
+            k,
+            x1,
+            x2,
+            m.valid,
+            focal=focal,
+            threshold_px=config.geometry.essential_threshold_px,
+            n_hypotheses=config.geometry.essential_ransac_iters,
+        )
+        n = jnp.sum(m.valid)
+        ratio = pose.n_inliers / jnp.maximum(n, 1)
+        usable = (n >= config.matching.min_pair_matches) & pose.ok
+        return ratio, n, usable
+
+    keys = jax.random.split(key, pair_i.shape[0])
+    ratio, n, usable = jax.vmap(one)(keys, matches, pair_i, pair_j)
+    return PairScores(
+        pose_inlier_ratio=jnp.where(usable, ratio, -1.0),
+        n_matches=n,
+        usable=usable,
+    )
+
+
+def best_pair(scores: PairScores) -> jnp.ndarray:
+    """Argmax pose-inlier ratio among usable pairs (divergence from the
+    reference's ascending-map first-hit, documented above)."""
+    return jnp.argmax(scores.pose_inlier_ratio)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def bootstrap_pair(
+    key: jax.Array,
+    state: ReconstructionState,
+    matches: PairMatches,  # matches of ONE pair
+    keypoints_xy: jnp.ndarray,  # (V, K, 2)
+    colors: jnp.ndarray,  # (V, K, 3) per-keypoint RGB samples
+    view_i: jnp.ndarray,
+    view_j: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    config: PipelineConfig,
+) -> Tuple[ReconstructionState, jnp.ndarray]:
+    """Two-view reconstruction seeding the map (src/Sfm.cpp:420-489):
+    P_left = I anchored at view_i, pose from the essential matrix,
+    triangulate pose inliers, 6 px reprojection gate, insert with tracks.
+
+    Returns (state, ok).
+    """
+    pa = keypoints_xy[view_i, matches.idx_a]
+    pb = keypoints_xy[view_j, matches.idx_b]
+    x1 = undistort_points(pa, K, dist)
+    x2 = undistort_points(pb, K, dist)
+    pose = estimate_relative_pose(
+        key,
+        x1,
+        x2,
+        matches.valid,
+        focal=K[0, 0],
+        threshold_px=config.geometry.essential_threshold_px,
+        n_hypotheses=config.geometry.essential_ransac_iters,
+    )
+    eye = jnp.eye(3)
+    zero = jnp.zeros(3)
+    X, keep = triangulate_and_filter(
+        eye,
+        zero,
+        pose.R,
+        pose.t,
+        x1,
+        x2,
+        pa,
+        pb,
+        K,
+        matches.valid & pose.inliers,
+        max_error_px=config.geometry.max_reprojection_error_px,
+    )
+    from sfm_danpipeline_tpu.ops.lie import log_so3
+
+    cam_i = jnp.zeros(6)
+    cam_j = jnp.concatenate([log_so3(pose.R), pose.t])
+    cameras = state.cameras.at[view_i].set(cam_i).at[view_j].set(cam_j)
+    camera_valid = state.camera_valid.at[view_i].set(True).at[view_j].set(True)
+    state = dataclasses.replace(
+        state, cameras=cameras, camera_valid=camera_valid
+    )
+    rgb = colors[view_i, matches.idx_a]
+    state = add_points(
+        state,
+        X,
+        rgb,
+        view_i,
+        matches.idx_a,
+        view_j,
+        matches.idx_b,
+        keep,
+        merge_distance=config.geometry.merge_distance,
+    )
+    ok = pose.ok & (jnp.sum(keep) >= config.geometry.min_pose_points)
+    return state, ok

@@ -1,0 +1,188 @@
+"""Incremental view registration: PnP + triangulation against done views.
+
+Replaces `addMoreViews`/`findCameraPosePNP` + the per-view triangulate/merge
+loop (src/Sfm.cpp:893-1210). Each step is a jitted, fixed-shape computation;
+the frontier walk stays on the host (SURVEY.md §7 hard part #3).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_danpipeline_tpu.config import PipelineConfig
+from sfm_danpipeline_tpu.ops.lie import exp_so3, log_so3
+from sfm_danpipeline_tpu.ops.matching import PairMatches
+from sfm_danpipeline_tpu.ops.pnp import solve_pnp_ransac
+from sfm_danpipeline_tpu.ops.projection import undistort_points
+from sfm_danpipeline_tpu.ops.triangulation import triangulate_and_filter
+from sfm_danpipeline_tpu.pipeline.tracks import (
+    ReconstructionState,
+    add_points,
+    find_2d3d,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def register_view(
+    key: jax.Array,
+    state: ReconstructionState,
+    new_view: jnp.ndarray,
+    done_views: jnp.ndarray,  # (D,) int32 view ids (padded with -1)
+    match_feat_new: jnp.ndarray,  # (D, M) feature ids in new view
+    match_feat_done: jnp.ndarray,  # (D, M) feature ids in done views
+    match_valid: jnp.ndarray,  # (D, M)
+    keypoints_xy: jnp.ndarray,  # (V, K, 2)
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    image_max_dim: float,
+    config: PipelineConfig,
+) -> Tuple[ReconstructionState, jnp.ndarray, jnp.ndarray]:
+    """PnP-register `new_view` from 2D-3D correspondences through the track
+    table (src/Sfm.cpp:946-961). Returns (state, ok, n_inliers).
+
+    Before the 2D-3D lookup, each done view's matches are pruned to their
+    two-view epipolar consensus (the reference prunes with a homography at
+    2.5 px, src/Sfm.cpp:610-662; the essential-matrix band is the correct
+    non-planar analogue). At wide baselines the raw ratio-test match sets
+    run >50% outliers and unfiltered PnP starves.
+    """
+    from sfm_danpipeline_tpu.ops.epipolar import estimate_relative_pose
+
+    D, M = match_feat_new.shape
+    key, k_epi = jax.random.split(key)
+
+    def epi_filter(k, d_idx):
+        dv = done_views[d_idx]
+        valid = match_valid[d_idx] & (dv >= 0)
+        pn = keypoints_xy[new_view, match_feat_new[d_idx]]
+        pd = keypoints_xy[jnp.clip(dv, 0), match_feat_done[d_idx]]
+        xn = undistort_points(pn, K, dist)
+        xd = undistort_points(pd, K, dist)
+        pose = estimate_relative_pose(
+            k, xn, xd, valid, focal=K[0, 0],
+            threshold_px=config.geometry.essential_threshold_px,
+            n_hypotheses=config.geometry.essential_ransac_iters,
+        )
+        # Fall back to the raw matches when the pair is too thin to fit.
+        use = pose.ok & (jnp.sum(valid) >= 2 * config.geometry.min_pose_points)
+        return jnp.where(use, valid & pose.inliers, valid)
+
+    epi_keys = jax.random.split(k_epi, D)
+    filtered_valid = jax.vmap(epi_filter)(epi_keys, jnp.arange(D))
+
+    def collect(d_idx):
+        dv = done_views[d_idx]
+        p, fnew, m = find_2d3d(
+            state,
+            new_view,
+            jnp.clip(dv, 0),
+            match_feat_new[d_idx],
+            match_feat_done[d_idx],
+            filtered_valid[d_idx],
+        )
+        return p, fnew, m
+
+    p, fnew, m = jax.vmap(collect)(jnp.arange(D))
+    p = p.reshape(-1)
+    fnew = fnew.reshape(-1)
+    m = m.reshape(-1)
+    # Deduplicate: a cloud point may be hit via several done views; keep the
+    # first occurrence (scatter: first-wins via reverse-priority max trick).
+    # A simple stable dedup: mark duplicates of (point) ids.
+    order = jnp.argsort(~m, stable=True)  # valid first
+    p_s = p[order]
+    fnew_s = fnew[order]
+    m_s = m[order]
+    seen_slot = jnp.full((state.capacity,), -1, jnp.int32)
+    idx = jnp.arange(p_s.shape[0], dtype=jnp.int32)
+    seen_slot = seen_slot.at[jnp.where(m_s, p_s, state.capacity - 1)].max(
+        jnp.where(m_s, idx, -1)
+    )
+    # Wait-free dedup: entry i survives if seen_slot[p_i] == i (max wins) —
+    # "last wins" is fine; any single representative per point works.
+    keep = m_s & (seen_slot[p_s] == idx)
+
+    X = state.points_xyz[p_s]
+    px = keypoints_xy[new_view, fnew_s]
+    xn = undistort_points(px, K, dist)
+    thr = config.geometry.pnp_threshold_factor * image_max_dim
+    res = solve_pnp_ransac(
+        key,
+        X,
+        px,
+        xn,
+        keep,
+        K,
+        threshold_px=thr,
+        n_hypotheses=config.geometry.pnp_ransac_iters,
+        max_translation=config.geometry.pnp_max_translation,
+    )
+    cam = jnp.concatenate([log_so3(res.R), res.t])
+    cameras = jnp.where(
+        res.ok, state.cameras.at[new_view].set(cam), state.cameras
+    )
+    camera_valid = jnp.where(
+        res.ok,
+        state.camera_valid.at[new_view].set(True),
+        state.camera_valid,
+    )
+    state = dataclasses.replace(
+        state, cameras=cameras, camera_valid=camera_valid
+    )
+    return state, res.ok, res.n_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def triangulate_new_view(
+    state: ReconstructionState,
+    new_view: jnp.ndarray,
+    done_view: jnp.ndarray,
+    feat_new: jnp.ndarray,  # (M,)
+    feat_done: jnp.ndarray,  # (M,)
+    valid: jnp.ndarray,  # (M,)
+    keypoints_xy: jnp.ndarray,
+    colors: jnp.ndarray,  # (V, K, 3)
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    config: PipelineConfig,
+) -> Tuple[ReconstructionState, jnp.ndarray]:
+    """Triangulate matches (new_view, done_view) with current poses and merge
+    into the cloud (src/Sfm.cpp:964-993). Returns (state, n_added_or_fused)."""
+    cam_n = state.cameras[new_view]
+    cam_d = state.cameras[done_view]
+    Rn, tn = exp_so3(cam_n[:3]), cam_n[3:]
+    Rd, td = exp_so3(cam_d[:3]), cam_d[3:]
+    pn = keypoints_xy[new_view, feat_new]
+    pd = keypoints_xy[done_view, feat_done]
+    xn = undistort_points(pn, K, dist)
+    xd = undistort_points(pd, K, dist)
+    X, keep = triangulate_and_filter(
+        Rn,
+        tn,
+        Rd,
+        td,
+        xn,
+        xd,
+        pn,
+        pd,
+        K,
+        valid & state.camera_valid[new_view] & state.camera_valid[done_view],
+        max_error_px=config.geometry.max_reprojection_error_px,
+    )
+    rgb = colors[new_view, feat_new]
+    state = add_points(
+        state,
+        X,
+        rgb,
+        new_view,
+        feat_new,
+        done_view,
+        feat_done,
+        keep,
+        merge_distance=config.geometry.merge_distance,
+    )
+    return state, jnp.sum(keep)

@@ -1,0 +1,368 @@
+"""End-to-end incremental SfM orchestrator.
+
+The TPU-native `StructFromMotion::map3D` (src/Sfm.cpp:9-109): extract ->
+score pairs -> baseline -> incremental registration (+BA each view) ->
+global BA. The orchestration loop runs on the host; every step it invokes
+is a jitted fixed-shape computation. No blocking viewers, no disk round-trip
+between stages (SURVEY.md §7 non-goals): artifacts are written at the end.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_danpipeline_tpu.config import PipelineConfig
+from sfm_danpipeline_tpu.io.calibration import Intrinsics
+from sfm_danpipeline_tpu.io.images import ImageBatch
+from sfm_danpipeline_tpu.ba.problem import make_problem
+from sfm_danpipeline_tpu.ba.solver import run_ba
+from sfm_danpipeline_tpu.ops.interp import bilinear_sample
+from sfm_danpipeline_tpu.ops.matching import match_all_pairs
+from sfm_danpipeline_tpu.ops.sift import Keypoints, detect_and_compute_batch
+from sfm_danpipeline_tpu.pipeline.bootstrap import (
+    best_pair,
+    bootstrap_pair,
+    score_pairs,
+)
+from sfm_danpipeline_tpu.pipeline.incremental import (
+    register_view,
+    triangulate_new_view,
+)
+from sfm_danpipeline_tpu.pipeline.tracks import (
+    ReconstructionState,
+    init_state,
+    observation_table,
+    prune_observations,
+)
+
+log = logging.getLogger("sfm_danpipeline_tpu")
+
+
+@dataclasses.dataclass
+class SfMResult:
+    state: ReconstructionState
+    keypoints: Keypoints
+    points: np.ndarray  # (N, 3) valid points
+    colors: np.ndarray  # (N, 3)
+    registered_views: List[int]
+    metrics: Dict[str, float]
+
+
+def _keypoint_colors(images: ImageBatch, kp: Keypoints) -> jnp.ndarray:
+    """Sample per-keypoint RGB from the color images ((V, K, 3) in [0,1])."""
+    color = jnp.asarray(images.color)
+
+    def one(img, xy):
+        return jnp.stack(
+            [
+                bilinear_sample(img[..., c], xy[:, 0], xy[:, 1])
+                for c in range(3)
+            ],
+            axis=-1,
+        )
+
+    return jax.vmap(one)(color, kp.xy)
+
+
+def _pair_list(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """All i<j pairs in the reference's loop order (src/Sfm.cpp:511-512)."""
+    pi, pj = [], []
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            pi.append(i)
+            pj.append(j)
+    return np.asarray(pi, np.int32), np.asarray(pj, np.int32)
+
+
+class SfMPipeline:
+    """Host driver. Usage:
+
+        pipe = SfMPipeline(config)
+        result = pipe.run(images, intrinsics)
+    """
+
+    def __init__(self, config: PipelineConfig = PipelineConfig()):
+        self.config = config
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        images: ImageBatch,
+        intrinsics: Intrinsics,
+        run_ba_every_view: bool = True,
+    ) -> SfMResult:
+        cfg = self.config
+        t_start = time.time()
+        metrics: Dict[str, float] = {}
+        V = images.n_images
+        K = jnp.asarray(intrinsics.K, jnp.float32)
+        dist = jnp.asarray(intrinsics.dist, jnp.float32)
+        pp = jnp.asarray([intrinsics.cx, intrinsics.cy], jnp.float32)
+        max_dim = float(max(images.shape))
+
+        # 1. Features (src/Sfm.cpp:257-327) — whole batch at once.
+        t0 = time.time()
+        kp = detect_and_compute_batch(
+            jnp.asarray(images.gray), cfg.features
+        )
+        jax.block_until_ready(kp.descriptors)
+        metrics["t_features"] = time.time() - t0
+        metrics["n_keypoints_mean"] = float(jnp.mean(jnp.sum(kp.valid, -1)))
+        log.info(
+            "features: %.2fs, mean %d kp/image",
+            metrics["t_features"],
+            metrics["n_keypoints_mean"],
+        )
+        colors = _keypoint_colors(images, kp)
+
+        # 2. All-pairs matching (HOT LOOP #1, src/Sfm.cpp:509-583).
+        t0 = time.time()
+        pi, pj = _pair_list(V)
+        matches = match_all_pairs(
+            kp.descriptors,
+            kp.valid,
+            jnp.asarray(pi),
+            jnp.asarray(pj),
+            ratio=cfg.matching.ratio,
+            max_matches=cfg.matching.max_matches,
+        )
+        jax.block_until_ready(matches.idx_a)
+        metrics["t_matching"] = time.time() - t0
+        metrics["n_pairs"] = len(pi)
+        log.info("matching: %.2fs over %d pairs", metrics["t_matching"], len(pi))
+
+        # 3. Pair scoring + baseline (src/Sfm.cpp:408-489).
+        t0 = time.time()
+        key = jax.random.key(cfg.geometry.seed)
+        k_score, k_boot, k_reg = jax.random.split(key, 3)
+        scores = score_pairs(
+            k_score, matches, kp.xy, jnp.asarray(pi), jnp.asarray(pj), K, dist, cfg
+        )
+        bp = int(best_pair(scores))
+        vi, vj = int(pi[bp]), int(pj[bp])
+        metrics["baseline_pair_i"] = vi
+        metrics["baseline_pair_j"] = vj
+        log.info(
+            "baseline pair (%d, %d), ratio %.3f, %d matches",
+            vi,
+            vj,
+            float(scores.pose_inlier_ratio[bp]),
+            int(scores.n_matches[bp]),
+        )
+
+        state = init_state(
+            V, cfg.features.max_keypoints, cfg.max_points, intrinsics.fx
+        )
+        one_match = jax.tree_util.tree_map(lambda a: a[bp], matches)
+        state, ok = bootstrap_pair(
+            k_boot, state, one_match, kp.xy, colors, vi, vj, K, dist, cfg
+        )
+        if not bool(ok):
+            raise RuntimeError(
+                "baseline reconstruction failed (pose or triangulation)"
+            )
+        metrics["t_baseline"] = time.time() - t0
+        metrics["n_baseline_points"] = int(state.n_points)
+        log.info("baseline: %d points", int(state.n_points))
+
+        state = self._run_global_ba(state, kp, pp, anchor=vi)
+
+        # 4. Incremental loop (src/Sfm.cpp:893-1009).
+        t0 = time.time()
+        pair_idx = {(int(a), int(b)): n for n, (a, b) in enumerate(zip(pi, pj))}
+        done = {vi, vj}
+        failed: set = set()
+        keys = jax.random.split(k_reg, V * 8)
+        key_n = 0
+        # Outer rounds: a view that fails PnP is retried after other views
+        # registered (it may gain 2D-3D support from newly triangulated
+        # points) — the reference's skip-and-continue (src/Sfm.cpp:955-958)
+        # plus recovery.
+        progress = True
+        while progress:
+            progress = False
+            failed.clear()
+            while True:
+                frontier = self._frontier(done, failed, V)
+                if not frontier:
+                    break
+                new_view = frontier[0]
+                state, ok, n_inl = self._register(
+                    keys[key_n], state, new_view, sorted(done), matches,
+                    pair_idx, kp, K, dist, max_dim,
+                )
+                key_n += 1
+                if not bool(ok):
+                    log.warning("view %d: PnP failed, skipping", new_view)
+                    failed.add(new_view)
+                    continue
+                log.info(
+                    "view %d registered (%d PnP inliers)", new_view, int(n_inl)
+                )
+                # Triangulate against every registered view (src/Sfm.cpp:964-993).
+                for d in sorted(done):
+                    fn, fd, mv = self._pair_feats(new_view, d, matches, pair_idx)
+                    state, n_new = triangulate_new_view(
+                        state, new_view, d, fn, fd, mv, kp.xy, colors, K,
+                        dist, cfg,
+                    )
+                done.add(new_view)
+                progress = True
+                if run_ba_every_view:
+                    state = self._run_global_ba(state, kp, pp, anchor=vi)
+            if len(done) == V:
+                break
+
+        metrics["t_incremental"] = time.time() - t0
+
+        # 5. Final global BA (the reference's intended adjustCurrentBundle,
+        # src/Sfm.cpp:883-888, with Ceres semantics from BundleAdjustment.cpp).
+        t0 = time.time()
+        state, ba_metrics = self._run_global_ba(
+            state, kp, pp, anchor=vi, return_metrics=True
+        )
+        metrics.update(ba_metrics)
+        metrics["t_final_ba"] = time.time() - t0
+
+        valid = np.asarray(state.points_valid)
+        pts = np.asarray(state.points_xyz)[valid]
+        cols = np.asarray(state.points_rgb)[valid]
+        metrics["n_points"] = int(valid.sum())
+        metrics["n_registered"] = len(done)
+        metrics["t_total"] = time.time() - t_start
+        log.info(
+            "done: %d views, %d points, %.2fs total",
+            len(done),
+            int(valid.sum()),
+            metrics["t_total"],
+        )
+        return SfMResult(
+            state=state,
+            keypoints=kp,
+            points=pts,
+            colors=cols,
+            registered_views=sorted(done),
+            metrics=metrics,
+        )
+
+    # ------------------------------------------------------------------
+    def _frontier(self, done: set, failed: set, V: int) -> List[int]:
+        """Index-neighbor frontier (reference: +-1 of done views,
+        src/Sfm.cpp:900-931), widened to every remaining view once the
+        neighbor frontier is exhausted (a capability the reference lacks —
+        it can never bridge a sequence break)."""
+        out = []
+        for v in sorted(done):
+            for cand in (v - 1, v + 1):
+                if 0 <= cand < V and cand not in done and cand not in failed:
+                    if cand not in out:
+                        out.append(cand)
+        if not out:
+            out = [v for v in range(V) if v not in done and v not in failed]
+        return out
+
+    def _pair_feats(self, a: int, b: int, matches, pair_idx):
+        """Match features oriented as (feat_in_a, feat_in_b)."""
+        if (a, b) in pair_idx:
+            n = pair_idx[(a, b)]
+            return matches.idx_a[n], matches.idx_b[n], matches.valid[n]
+        n = pair_idx[(b, a)]
+        return matches.idx_b[n], matches.idx_a[n], matches.valid[n]
+
+    def _register(
+        self, key, state, new_view, done_list, matches, pair_idx, kp, K, dist,
+        max_dim,
+    ):
+        V = state.n_views
+        D = V  # fixed-size done-view axis (padded with -1)
+        M = matches.idx_a.shape[1]
+        feat_new = np.zeros((D, M), np.int32)
+        feat_done = np.zeros((D, M), np.int32)
+        mvalid = np.zeros((D, M), bool)
+        dv = np.full((D,), -1, np.int32)
+        for n, d in enumerate(done_list):
+            fn, fd, mv = self._pair_feats(new_view, d, matches, pair_idx)
+            feat_new[n] = np.asarray(fn)
+            feat_done[n] = np.asarray(fd)
+            mvalid[n] = np.asarray(mv)
+            dv[n] = d
+        return register_view(
+            key,
+            state,
+            jnp.asarray(new_view, jnp.int32),
+            jnp.asarray(dv),
+            jnp.asarray(feat_new),
+            jnp.asarray(feat_done),
+            jnp.asarray(mvalid),
+            kp.xy,
+            K,
+            dist,
+            max_dim,
+            self.config,
+        )
+
+    def _run_global_ba(
+        self, state, kp, pp, anchor: int, return_metrics: bool = False
+    ):
+        obs_cam, obs_pt, obs_xy, obs_w = observation_table(state, kp.xy, pp)
+        fix = np.zeros(state.n_views, bool)
+        fix[anchor] = True
+        prob = make_problem(
+            cameras=state.cameras,
+            focal=state.focal,
+            points=state.points_xyz,
+            obs_cam=obs_cam,
+            obs_pt=obs_pt,
+            obs_xy=obs_xy,
+            obs_w=obs_w,
+            fix_cam=jnp.asarray(fix),
+            fix_focal=not self.config.ba.optimize_focal,
+        )
+        res = run_ba(prob, self.config.ba)
+        state = dataclasses.replace(
+            state,
+            cameras=res.cameras,
+            focal=res.focal,
+            points_xyz=res.points,
+        )
+        # Map hygiene: drop badly-reprojecting observations and dead points
+        # so later PnP registrations see a clean cloud.
+        K_full = jnp.asarray(
+            [
+                [state.focal, 0.0, pp[0]],
+                [0.0, state.focal, pp[1]],
+                [0.0, 0.0, 1.0],
+            ],
+            jnp.float32,
+        )
+        state = prune_observations(
+            state, kp.xy, K_full,
+            max_error_px=self.config.geometry.max_reprojection_error_px,
+        )
+        if not return_metrics:
+            return state
+        n_obs = float(jnp.sum(obs_w))
+        rms = float(jnp.sqrt(2.0 * res.final_cost / max(n_obs, 1.0)))
+        metrics = {
+            "ba_initial_cost": float(res.initial_cost),
+            "ba_final_cost": float(res.final_cost),
+            "ba_iterations": int(res.iterations),
+            "ba_rms_px": rms,
+            "ba_n_obs": n_obs,
+            "focal": float(res.focal),
+        }
+        log.info(
+            "BA: cost %.1f -> %.1f (%d iters, RMS %.3f px, %d obs)",
+            metrics["ba_initial_cost"],
+            metrics["ba_final_cost"],
+            metrics["ba_iterations"],
+            rms,
+            int(n_obs),
+        )
+        return state, metrics

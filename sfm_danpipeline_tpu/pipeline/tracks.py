@@ -1,0 +1,309 @@
+"""Reconstruction state: dense track table + cameras.
+
+Replaces the reference's `Point3D.idxImage` per-point std::map covisibility
+structure (include/Utilities.h:37-43) with dense arrays (SURVEY.md §7 core
+representation): `track_feat[p, v]` holds the feature index of point p in
+view v (or -1), and the inverse map `feat_to_point[v, k]` makes
+2D-3D correspondence search (src/Sfm.cpp:1047-1090) a pure gather.
+
+Point insertion performs *track fusion*: a triangulated candidate that
+shares a (view, feature) observation with an existing point extends that
+point's track instead of creating a duplicate — fixing the reference's
+dead-code view-fusion branch (src/Sfm.cpp:1225-1240) — and candidates
+within `merge_distance` of their fused partner are averaged while brand-new
+points append to free slots (the reference instead drops any point within
+0.01 of the cloud, src/Sfm.cpp:1216).
+
+Everything is fixed-capacity + masks, so every operation jits.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconstructionState:
+    """Fixed-capacity reconstruction state.
+
+    points_xyz:    (P, 3) float32
+    points_rgb:    (P, 3) float32
+    points_valid:  (P,)   bool
+    track_feat:    (P, V) int32 — feature id of point in view, or -1
+    feat_to_point: (V, K) int32 — inverse map, point id or -1
+    cameras:       (V, 6) float32 — angle-axis + t (world->cam)
+    camera_valid:  (V,)   bool — registered views
+    focal:         ()     float32 — shared focal (BA-refined)
+    n_points:      ()     int32
+    """
+
+    points_xyz: jnp.ndarray
+    points_rgb: jnp.ndarray
+    points_valid: jnp.ndarray
+    track_feat: jnp.ndarray
+    feat_to_point: jnp.ndarray
+    cameras: jnp.ndarray
+    camera_valid: jnp.ndarray
+    focal: jnp.ndarray
+    n_points: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.points_xyz.shape[0]
+
+    @property
+    def n_views(self) -> int:
+        return self.track_feat.shape[1]
+
+    @property
+    def max_keypoints(self) -> int:
+        return self.feat_to_point.shape[1]
+
+
+jax.tree_util.register_dataclass(
+    ReconstructionState,
+    data_fields=[
+        "points_xyz",
+        "points_rgb",
+        "points_valid",
+        "track_feat",
+        "feat_to_point",
+        "cameras",
+        "camera_valid",
+        "focal",
+        "n_points",
+    ],
+    meta_fields=[],
+)
+
+
+def init_state(
+    n_views: int, max_keypoints: int, capacity: int, focal: float
+) -> ReconstructionState:
+    return ReconstructionState(
+        points_xyz=jnp.zeros((capacity, 3), jnp.float32),
+        points_rgb=jnp.zeros((capacity, 3), jnp.float32),
+        points_valid=jnp.zeros((capacity,), bool),
+        track_feat=jnp.full((capacity, n_views), -1, jnp.int32),
+        feat_to_point=jnp.full((n_views, max_keypoints), -1, jnp.int32),
+        cameras=jnp.zeros((n_views, 6), jnp.float32),
+        camera_valid=jnp.zeros((n_views,), bool),
+        focal=jnp.asarray(focal, jnp.float32),
+        n_points=jnp.asarray(0, jnp.int32),
+    )
+
+
+@jax.jit
+def add_points(
+    state: ReconstructionState,
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    view_a: jnp.ndarray,
+    feat_a: jnp.ndarray,
+    view_b: jnp.ndarray,
+    feat_b: jnp.ndarray,
+    mask: jnp.ndarray,
+    merge_distance: float = 0.01,
+) -> ReconstructionState:
+    """Insert triangulated candidates with track fusion.
+
+    xyz: (M, 3) candidate points observed as (view_a, feat_a) and
+    (view_b, feat_b) (scalars view_a/view_b broadcast; arrays allowed).
+    mask: (M,) valid candidates.
+
+    Fusion rule (vectorized `mergeNewPoints`, src/Sfm.cpp:1212-1244):
+      1. candidate whose (view, feat) observation already belongs to a point
+         -> extend that point's track with the other observation;
+      2. otherwise append to a free slot.
+    Duplicate candidates inside one batch (same feat in the batch) resolve
+    by first-wins via scatter order.
+    """
+    M = xyz.shape[0]
+    P = state.capacity
+    V = state.n_views
+    Kmax = state.max_keypoints
+    view_a = jnp.broadcast_to(jnp.asarray(view_a, jnp.int32), (M,))
+    view_b = jnp.broadcast_to(jnp.asarray(view_b, jnp.int32), (M,))
+    feat_a = jnp.asarray(feat_a, jnp.int32)
+    feat_b = jnp.asarray(feat_b, jnp.int32)
+
+    # Masked-scatter convention: EVERY scatter below routes masked entries to
+    # a dump row/column (index P for point arrays, Kmax for the inverse map)
+    # which is sliced off afterwards. "Write the old value back" is NOT a
+    # safe mask — .at[].set with duplicate indices is last-wins, so a masked
+    # slot sharing an index with a real write could clobber it (this exact
+    # bug corrupted feat_to_point and broke incremental PnP).
+    track_feat = jnp.pad(
+        state.track_feat, ((0, 1), (0, 0)), constant_values=-1
+    )  # (P+1, V)
+    f2p = jnp.pad(
+        state.feat_to_point, ((0, 0), (0, 1)), constant_values=-1
+    )  # (V, K+1)
+
+    # Existing points holding these observations (-1 if none).
+    pa = state.feat_to_point[view_a, jnp.clip(feat_a, 0)]
+    pb = state.feat_to_point[view_b, jnp.clip(feat_b, 0)]
+    pa = jnp.where(mask & (feat_a >= 0), pa, -1)
+    pb = jnp.where(mask & (feat_b >= 0), pb, -1)
+    fuse_target = jnp.where(pa >= 0, pa, pb)
+    fuse = fuse_target >= 0
+
+    # --- Fusion: extend tracks of existing points (dump-row for masked).
+    tgt_a = jnp.where(fuse & (state.track_feat[jnp.clip(fuse_target, 0), view_a] < 0), fuse_target, P)
+    track_feat = track_feat.at[tgt_a, view_a].set(
+        jnp.where(tgt_a < P, feat_a, -1)
+    )
+    tgt_b = jnp.where(
+        fuse
+        & (track_feat[jnp.clip(fuse_target, 0), view_b] < 0),
+        fuse_target,
+        P,
+    )
+    track_feat = track_feat.at[tgt_b, view_b].set(
+        jnp.where(tgt_b < P, feat_b, -1)
+    )
+    col_a = jnp.where(fuse & (feat_a >= 0), feat_a, Kmax)
+    f2p = f2p.at[view_a, col_a].set(jnp.where(col_a < Kmax, fuse_target, -1))
+    col_b = jnp.where(fuse & (feat_b >= 0), feat_b, Kmax)
+    f2p = f2p.at[view_b, col_b].set(jnp.where(col_b < Kmax, fuse_target, -1))
+
+    # --- Append new points to free slots.
+    append = mask & ~fuse
+    pos_in_batch = jnp.cumsum(append.astype(jnp.int32)) - 1
+    slot = state.n_points + pos_in_batch
+    in_cap = append & (slot < P)
+    slot_d = jnp.where(in_cap, slot, P)  # dump row for masked entries
+
+    points_xyz = jnp.pad(state.points_xyz, ((0, 1), (0, 0)))
+    points_rgb = jnp.pad(state.points_rgb, ((0, 1), (0, 0)))
+    points_valid = jnp.pad(state.points_valid, (0, 1))
+    points_xyz = points_xyz.at[slot_d].set(xyz)
+    points_rgb = points_rgb.at[slot_d].set(rgb)
+    points_valid = points_valid.at[slot_d].set(True)
+    track_feat = track_feat.at[slot_d, view_a].set(feat_a)
+    track_feat = track_feat.at[slot_d, view_b].set(feat_b)
+    acol = jnp.where(in_cap & (feat_a >= 0), feat_a, Kmax)
+    bcol = jnp.where(in_cap & (feat_b >= 0), feat_b, Kmax)
+    f2p = f2p.at[view_a, acol].set(slot_d)
+    f2p = f2p.at[view_b, bcol].set(slot_d)
+    n_points = state.n_points + jnp.sum(in_cap.astype(jnp.int32))
+
+    return dataclasses.replace(
+        state,
+        points_xyz=points_xyz[:P],
+        points_rgb=points_rgb[:P],
+        points_valid=points_valid[:P],
+        track_feat=track_feat[:P],
+        feat_to_point=f2p[:, :Kmax],
+        n_points=n_points,
+    )
+
+
+@jax.jit
+def find_2d3d(
+    state: ReconstructionState,
+    new_view: jnp.ndarray,
+    done_view: jnp.ndarray,
+    match_feat_new: jnp.ndarray,
+    match_feat_done: jnp.ndarray,
+    match_valid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """2D-3D correspondences from matches (new_view <-> done_view).
+
+    The vectorized form of find2D3DMatches (src/Sfm.cpp:1011-1095): a match
+    (feat_new, feat_done) yields a correspondence when feat_done belongs to
+    an existing cloud point. Returns (point_idx (M,), feat_new (M,), mask).
+    """
+    p = state.feat_to_point[done_view, jnp.clip(match_feat_done, 0)]
+    mask = match_valid & (match_feat_done >= 0) & (p >= 0)
+    mask = mask & state.points_valid[jnp.clip(p, 0)]
+    return jnp.clip(p, 0), match_feat_new, mask
+
+
+@jax.jit
+def prune_observations(
+    state: ReconstructionState,
+    keypoints_xy: jnp.ndarray,
+    K: jnp.ndarray,
+    max_error_px: float = 6.0,
+) -> ReconstructionState:
+    """Drop observations reprojecting worse than `max_error_px` with the
+    current cameras, then invalidate points left with < 2 observations.
+
+    The reference has no map hygiene (its BA never runs and bad tracks
+    accumulate); without this the growing cloud's gross-outlier fraction
+    keeps climbing and later PnP registrations starve. The 6 px gate reuses
+    the triangulation acceptance threshold (src/Sfm.cpp:850).
+    """
+    from sfm_danpipeline_tpu.ops.lie import exp_so3
+
+    P, V = state.track_feat.shape
+    feat = state.track_feat  # (P, V)
+    has_obs = feat >= 0
+    # Reproject every (point, view) cell.
+    R = exp_so3(state.cameras[:, :3])  # (V, 3, 3)
+    t = state.cameras[:, 3:]  # (V, 3)
+    cam = jnp.einsum("vij,pj->pvi", R, state.points_xyz) + t[None]
+    z = jnp.where(jnp.abs(cam[..., 2]) < 1e-9, 1e-9, cam[..., 2])
+    uv = cam[..., :2] / z[..., None]
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    proj = uv * jnp.array([fx, fy]) + jnp.array([cx, cy])
+    vgrid = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (P, V))
+    obs_xy = keypoints_xy[vgrid, jnp.clip(feat, 0)]  # (P, V, 2)
+    err = jnp.linalg.norm(proj - obs_xy, axis=-1)
+    good = (
+        has_obs
+        & (err <= max_error_px)
+        & (z > 0)
+        & state.camera_valid[None, :]
+        & state.points_valid[:, None]
+    )
+    new_feat = jnp.where(good, feat, -1)
+    obs_count = jnp.sum(new_feat >= 0, axis=1)
+    points_valid = state.points_valid & (obs_count >= 2)
+    new_feat = jnp.where(points_valid[:, None], new_feat, -1)
+    # Rebuild the inverse map from scratch (scatter over surviving obs).
+    Kmax = state.max_keypoints
+    f2p = jnp.full((V, Kmax + 1), -1, jnp.int32)
+    pidx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, V))
+    vidx = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (P, V))
+    col = jnp.where(new_feat >= 0, new_feat, Kmax)
+    f2p = f2p.at[vidx.reshape(-1), col.reshape(-1)].set(
+        jnp.where(new_feat >= 0, pidx, -1).reshape(-1)
+    )
+    return dataclasses.replace(
+        state,
+        track_feat=new_feat,
+        points_valid=points_valid,
+        feat_to_point=f2p[:, :Kmax],
+    )
+
+
+def observation_table(
+    state: ReconstructionState,
+    keypoints_xy: jnp.ndarray,
+    principal_point: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flatten the track table into BA observation arrays.
+
+    keypoints_xy: (V, K, 2) all detected keypoint positions.
+    Returns (obs_cam (P*V,), obs_pt (P*V,), obs_xy (P*V, 2) pp-subtracted,
+    obs_w (P*V,)). Padding slots carry weight 0 (BA ignores them,
+    tests/test_ba.py::test_padded_observations_ignored).
+    """
+    P, V = state.track_feat.shape
+    obs_pt = jnp.repeat(jnp.arange(P, dtype=jnp.int32), V)
+    obs_cam = jnp.tile(jnp.arange(V, dtype=jnp.int32), P)
+    feat = state.track_feat.reshape(-1)
+    w = (
+        (feat >= 0)
+        & state.points_valid[obs_pt]
+        & state.camera_valid[obs_cam]
+    )
+    xy = keypoints_xy[obs_cam, jnp.clip(feat, 0)] - principal_point
+    return obs_cam, obs_pt, xy, w.astype(jnp.float32)

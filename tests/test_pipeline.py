@@ -1,0 +1,28 @@
+"""End-to-end pipeline integration test on the bundled temple dataset —
+the analogue of the reference's only verification affordance (README.md:43:
+run the binary on data/temple)."""
+import numpy as np
+import pytest
+
+from sfm_danpipeline_tpu.config import PipelineConfig
+from sfm_danpipeline_tpu.pipeline.sfm import SfMPipeline
+
+
+@pytest.mark.slow
+def test_temple_incremental_reconstruction(temple_images, temple_intrinsics):
+    cfg = PipelineConfig().replace(max_points=8192)
+    res = SfMPipeline(cfg).run(temple_images, temple_intrinsics)
+    # The temple subset has a genuine viewpoint break between images 5 and 6
+    # (63 raw matches, <25% flow-coherent), so the largest reconstructible
+    # component is views 0-5; the reference's >=120-match gate
+    # (src/Sfm.cpp:533) excludes the bridge pair as well.
+    assert len(res.registered_views) >= 6
+    assert res.metrics["n_points"] >= 700
+    assert res.metrics["ba_rms_px"] < 1.0
+    # Cameras form a coherent arc: consecutive centers roughly equidistant.
+    from sfm_danpipeline_tpu.utils.metrics import camera_centers
+
+    regs = res.registered_views
+    centers = camera_centers(np.asarray(res.state.cameras))[regs]
+    gaps = np.linalg.norm(np.diff(centers, axis=0), axis=1)
+    assert gaps.max() < 5 * np.median(gaps)
