@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline metric: temple-sequence end-to-end frames/s (full incremental SfM:
+features -> all-pairs matching -> baseline -> incremental PnP+triangulation
++ per-view BA -> final BA), steady-state (second run, compile cached).
+
+`vs_baseline` compares against the nominal reference estimate recorded in
+BASELINE.md (the reference publishes no numbers; 0.5 frames/s is the
+documented order-of-magnitude estimate for the OpenCV/Ceres CPU pipeline on
+the same 10-image dataset). Stage timings go to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+TEMPLE = "/root/reference/data/temple"
+CALIB = os.path.join(TEMPLE, "camera_calibration_template.xml")
+NOMINAL_REFERENCE_FPS = 0.5  # see BASELINE.md "nominal reference estimate"
+
+
+def main():
+    import jax
+
+    import sfm_danpipeline_tpu  # noqa: F401
+    from sfm_danpipeline_tpu.config import PipelineConfig
+    from sfm_danpipeline_tpu.io.calibration import load_calibration
+    from sfm_danpipeline_tpu.io.images import load_images
+    from sfm_danpipeline_tpu.pipeline.sfm import SfMPipeline
+
+    print(f"bench: backend={jax.default_backend()}", file=sys.stderr)
+    images = load_images(TEMPLE)
+    calib = load_calibration(CALIB)
+    cfg = PipelineConfig().replace(max_points=8192)
+    pipe = SfMPipeline(cfg)
+
+    # Warmup (compiles cached across runs via the compilation cache).
+    t0 = time.time()
+    res = pipe.run(images, calib)
+    warm = time.time() - t0
+    print(f"bench: warmup run {warm:.1f}s", file=sys.stderr)
+
+    # Steady-state.
+    t0 = time.time()
+    res = pipe.run(images, calib)
+    steady = time.time() - t0
+    fps = images.n_images / steady
+    for k, v in sorted(res.metrics.items()):
+        print(f"bench:   {k}: {v}", file=sys.stderr)
+    print(
+        f"bench: steady run {steady:.1f}s -> {fps:.3f} frames/s, "
+        f"{res.metrics['n_points']} pts, RMS {res.metrics['ba_rms_px']:.3f}px",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "temple_end_to_end_frames_per_s",
+                "value": round(fps, 4),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / NOMINAL_REFERENCE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -203,19 +203,35 @@ class BAResult(NamedTuple):
     converged: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def run_ba(problem: BAProblem, config: BAConfig = BAConfig()) -> BAResult:
-    """LM loop (lax.while_loop): assemble -> Schur solve -> accept/reject."""
+@functools.partial(jax.jit, static_argnames=("config", "axis_name"))
+def run_ba(
+    problem: BAProblem,
+    config: BAConfig = BAConfig(),
+    axis_name: str | None = None,
+) -> BAResult:
+    """LM loop (lax.while_loop): assemble -> Schur solve -> accept/reject.
+
+    With `axis_name` set (inside shard_map over a mesh axis), the problem's
+    observation arrays are the LOCAL shard: normal-equation blocks and costs
+    are psum-reduced over the axis, the reduced camera system is solved
+    replicated on every device — the distributed-BA scheme of SURVEY.md §5
+    (per-shard J^T J / J^T r blocks reduced with psum over ICI).
+    """
+
+    def preduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     def cost_of(cameras, focal, points):
-        return ba_cost(
-            cameras,
-            focal,
-            points,
-            problem.obs_cam,
-            problem.obs_pt,
-            problem.obs_xy,
-            problem.obs_w,
+        return preduce(
+            ba_cost(
+                cameras,
+                focal,
+                points,
+                problem.obs_cam,
+                problem.obs_pt,
+                problem.obs_xy,
+                problem.obs_w,
+            )
         )
 
     c0 = cost_of(problem.cameras, problem.focal, problem.points)
@@ -234,6 +250,7 @@ def run_ba(problem: BAProblem, config: BAConfig = BAConfig()) -> BAResult:
             fix_focal=problem.fix_focal,
         )
         blocks, _ = build_normal_blocks(prob)
+        blocks = jax.tree_util.tree_map(preduce, blocks)
         dc, df, dp = schur_solve(
             blocks, lam, problem.fix_cam, problem.fix_focal
         )

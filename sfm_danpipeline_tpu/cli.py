@@ -1,0 +1,197 @@
+"""Command-line driver.
+
+The working version of the reference's commented-out CLI (main.cpp:20-44;
+its live code hard-codes both input paths, main.cpp:50,59). Runs the same
+3-stage flow as main.cpp:18-87 — SfM map, segmentation, dendrometry — plus
+the dense stage, with artifact files replacing the blocking viewers
+(SURVEY.md §7 non-goals): sparse.ply, MAP3D.pcd, cameras.json,
+metrics.jsonl, segmentation labels, dendrometry report.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="itree3dmap-tpu",
+        description="TPU-native incremental Structure-from-Motion",
+    )
+    p.add_argument("--images", required=True, help="image directory")
+    p.add_argument(
+        "--calibration", required=True, help="OpenCV XML calibration file"
+    )
+    p.add_argument("--output", default="out", help="output directory")
+    p.add_argument(
+        "--stages",
+        default="sfm,dense,segment,dendrometry",
+        help="comma-separated stages to run",
+    )
+    p.add_argument("--max-points", type=int, default=16384)
+    p.add_argument("--max-keypoints", type=int, default=2048)
+    p.add_argument("--ratio", type=float, default=0.8, help="Lowe ratio")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--no-ba-every-view", action="store_true",
+        help="only run the final global bundle adjustment",
+    )
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="path to save/load the reconstruction state (resume support)",
+    )
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(levelname).1s %(name)s: %(message)s",
+    )
+    log = logging.getLogger("cli")
+    os.makedirs(args.output, exist_ok=True)
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+
+    import numpy as np
+
+    import sfm_danpipeline_tpu  # noqa: F401
+    from sfm_danpipeline_tpu.config import PipelineConfig
+    from sfm_danpipeline_tpu.io.calibration import load_calibration
+    from sfm_danpipeline_tpu.io.images import load_images
+    from sfm_danpipeline_tpu.io.ply import write_pcd, write_ply
+
+    cfg = PipelineConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        max_points=args.max_points,
+        features=dataclasses.replace(
+            cfg.features, max_keypoints=args.max_keypoints
+        ),
+        matching=dataclasses.replace(cfg.matching, ratio=args.ratio),
+        geometry=dataclasses.replace(cfg.geometry, seed=args.seed),
+    )
+
+    images = load_images(args.images, cfg.images)
+    intrinsics = load_calibration(args.calibration)
+    log.info("%d images @ %s, fx=%.1f", images.n_images, images.shape,
+             intrinsics.fx)
+
+    metrics_path = os.path.join(args.output, "metrics.jsonl")
+    mfile = open(metrics_path, "a")
+
+    def emit(stage: str, payload: dict):
+        rec = {"stage": stage, "ts": time.time(), **payload}
+        mfile.write(json.dumps(rec) + "\n")
+        mfile.flush()
+
+    points = colors = None
+    state = None
+
+    if "sfm" not in stages and args.checkpoint and os.path.exists(args.checkpoint):
+        # Resume: analysis/dense stages run from a saved reconstruction.
+        from sfm_danpipeline_tpu.utils.checkpoint import load_state
+
+        state, _ = load_state(args.checkpoint)
+        valid = np.asarray(state.points_valid)
+        points = np.asarray(state.points_xyz)[valid]
+        colors = np.asarray(state.points_rgb)[valid]
+        log.info("resumed %d points from %s", len(points), args.checkpoint)
+
+    if "sfm" in stages:
+        from sfm_danpipeline_tpu.pipeline.sfm import SfMPipeline
+
+        res = SfMPipeline(cfg).run(
+            images, intrinsics, run_ba_every_view=not args.no_ba_every_view
+        )
+        state = res.state
+        points, colors = res.points, res.colors
+        emit("sfm", res.metrics)
+        write_ply(
+            os.path.join(args.output, "sparse.ply"), points, colors
+        )
+        cams = {
+            "registered_views": res.registered_views,
+            "focal": float(res.state.focal),
+            "cameras": np.asarray(res.state.cameras).tolist(),
+        }
+        with open(os.path.join(args.output, "cameras.json"), "w") as f:
+            json.dump(cams, f, indent=1)
+        if args.checkpoint:
+            from sfm_danpipeline_tpu.utils.checkpoint import save_state
+
+            save_state(args.checkpoint, res.state)
+        log.info("sfm: %d points -> sparse.ply", len(points))
+
+    if "dense" in stages:
+        try:
+            from sfm_danpipeline_tpu.mvs.pipeline import densify
+
+            if state is None:
+                log.error("dense stage requires sfm stage (or a checkpoint)")
+                return 1
+            dres = densify(images, intrinsics, state, cfg.mvs)
+            points, colors = dres.points, dres.colors
+            emit("dense", dres.metrics)
+            write_ply(
+                os.path.join(args.output, "dense.ply"), points, colors
+            )
+            # MAP3D.pcd: the reference's on-disk artifact (src/Sfm.cpp:80).
+            write_pcd(
+                os.path.join(args.output, "MAP3D.pcd"), points, colors
+            )
+            log.info("dense: %d points -> dense.ply, MAP3D.pcd", len(points))
+        except ImportError:
+            log.warning("dense stage not available yet; skipping")
+
+    if points is None:
+        log.error("no cloud produced/loaded; nothing to analyze")
+        return 1
+
+    import jax.numpy as jnp
+
+    if "segment" in stages:
+        from sfm_danpipeline_tpu.analysis.segmentation import segment_cloud
+
+        seg = segment_cloud(
+            jnp.asarray(points),
+            jnp.asarray(colors if colors is not None else np.zeros_like(points)),
+            jnp.ones(len(points), bool),
+            z_min=cfg.analysis.seg_z_min,
+            z_max=cfg.analysis.seg_z_max,
+            distance=cfg.analysis.seg_distance,
+            point_color=cfg.analysis.seg_point_color,
+            region_color=cfg.analysis.seg_region_color,
+            min_cluster=min(cfg.analysis.seg_min_cluster, max(len(points) // 10, 1)),
+        )
+        n = int(seg.n_clusters)
+        emit("segment", {"n_clusters": n})
+        np.save(os.path.join(args.output, "segmentation_labels.npy"),
+                np.asarray(seg.labels))
+        if n == 0:
+            # Reference exits on zero clusters (src/Segmentation.cpp:44-48).
+            log.error("segmentation found 0 clusters")
+            return 1
+        log.info("segmentation: %d clusters", n)
+
+    if "dendrometry" in stages:
+        from sfm_danpipeline_tpu.analysis.dendrometry import estimate
+
+        rep = estimate(jnp.asarray(points), jnp.ones(len(points), bool))
+        emit("dendrometry", rep)
+        with open(os.path.join(args.output, "dendrometry.json"), "w") as f:
+            json.dump(rep, f, indent=1)
+        log.info("dendrometry: total height %.3f", rep["total_height"])
+
+    mfile.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

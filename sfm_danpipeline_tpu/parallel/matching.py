@@ -1,0 +1,73 @@
+"""Pair-grid-sharded descriptor matching.
+
+The reference's all-pairs matching loop is its HOT LOOP #1
+(src/Sfm.cpp:509-583), O(N^2) in image count and unpartitioned. The scaling
+story (SURVEY.md §5 "long-context analogue"): block-partition the C(N,2)
+pair list over the mesh's data axis — each device matches its block of
+pairs against the replicated descriptor set; results gather back sharded.
+No collectives are needed inside the kernel (pair matching is embarrassingly
+parallel); shard_map exists to pin the partitioning and keep the descriptor
+broadcast on ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sfm_danpipeline_tpu.ops.matching import PairMatches, match_all_pairs
+
+
+def match_all_pairs_sharded(
+    descriptors: jnp.ndarray,
+    valid: jnp.ndarray,
+    pair_i: jnp.ndarray,
+    pair_j: jnp.ndarray,
+    ratio: float = 0.8,
+    max_matches: int = 1024,
+    mesh: Optional[Mesh] = None,
+    axis: str = "d",
+) -> PairMatches:
+    """Sharded form of ops.matching.match_all_pairs.
+
+    descriptors (N, K, D) / valid (N, K) are replicated; pair_i/pair_j (NP,)
+    shard along `axis`. The returned PairMatches covers the original NP
+    pairs (padding pairs are stripped).
+    """
+    if mesh is None:
+        mesh = jax.make_mesh((jax.device_count(),), (axis,))
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    NP = pair_i.shape[0]
+    pad = (-NP) % n_dev
+    if pad:
+        pair_i = jnp.pad(pair_i, (0, pad))
+        pair_j = jnp.pad(pair_j, (0, pad))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=PairMatches(
+            idx_a=P(axis), idx_b=P(axis), dist=P(axis), valid=P(axis)
+        ),
+    )
+    def matcher(desc, val, pi, pj):
+        return match_all_pairs(
+            desc, val, pi, pj, ratio=ratio, max_matches=max_matches
+        )
+
+    out = matcher(descriptors, valid, pair_i, pair_j)
+    if pad:
+        # Slicing a sharded array to a non-divisible length has no
+        # unambiguous sharding; replicate first, then strip padding pairs.
+        from jax.sharding import NamedSharding
+
+        rep_sh = NamedSharding(mesh, P())
+        out = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, rep_sh)[:NP], out
+        )
+    return out
