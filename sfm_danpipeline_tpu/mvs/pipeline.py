@@ -1,0 +1,174 @@
+"""Dense reconstruction driver: depth sweeps per registered view + fusion.
+
+Replaces `StructFromMotion::PMVS2` + the subprocess + PLY reload
+(src/Sfm.cpp:1246-1303, 62-81) with an in-process TPU pipeline:
+half-resolution plane sweeps (PMVS2 level=1) for every registered view
+against its nearest registered neighbors, cross-view consistency fusion,
+and a voxel dedup. No filesystem protocol, no process boundary.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_danpipeline_tpu.config import MVSConfig
+from sfm_danpipeline_tpu.io.calibration import Intrinsics
+from sfm_danpipeline_tpu.io.images import ImageBatch
+from sfm_danpipeline_tpu.mvs.fusion import fuse_view, voxel_downsample
+from sfm_danpipeline_tpu.mvs.planesweep import (
+    make_depth_hypotheses,
+    sweep_depth_map,
+)
+from sfm_danpipeline_tpu.ops.lie import exp_so3
+from sfm_danpipeline_tpu.pipeline.tracks import ReconstructionState
+
+log = logging.getLogger("sfm_danpipeline_tpu.mvs")
+
+
+@dataclasses.dataclass
+class DenseResult:
+    points: np.ndarray
+    colors: np.ndarray
+    depth_maps: np.ndarray  # (V, H, W) at the working resolution
+    metrics: Dict[str, float]
+
+
+def _downsample(img: jnp.ndarray, level: int) -> jnp.ndarray:
+    for _ in range(level):
+        img = 0.25 * (
+            img[..., 0::2, 0::2]
+            + img[..., 1::2, 0::2]
+            + img[..., 0::2, 1::2]
+            + img[..., 1::2, 1::2]
+        )
+    return img
+
+
+def densify(
+    images: ImageBatch,
+    intrinsics: Intrinsics,
+    state: ReconstructionState,
+    config: MVSConfig = MVSConfig(),
+    n_sources: int = 4,
+) -> DenseResult:
+    t_start = time.time()
+    V = images.n_images
+    scale = 0.5 ** config.level
+    H = images.shape[0] >> config.level
+    W = images.shape[1] >> config.level
+    gray = _downsample(jnp.asarray(images.gray)[:, : H << config.level, : W << config.level], config.level)
+    color = jnp.stack(
+        [
+            _downsample(
+                jnp.asarray(images.color)[:, : H << config.level, : W << config.level, c],
+                config.level,
+            )
+            for c in range(3)
+        ],
+        axis=-1,
+    )
+    K = jnp.asarray(intrinsics.scaled(scale).K, jnp.float32)
+
+    cam_valid = np.asarray(state.camera_valid)
+    registered: List[int] = [v for v in range(V) if cam_valid[v]]
+    R_all = exp_so3(state.cameras[:, :3])
+    t_all = state.cameras[:, 3:]
+    centers = np.asarray(
+        -jnp.einsum("vij,vi->vj", R_all, t_all)
+    )  # -R^T t
+
+    pts = np.asarray(state.points_xyz)
+    pts_valid = np.asarray(state.points_valid)
+
+    depth_maps = np.zeros((V, H, W), np.float32)
+    min_consistent = min(
+        config.min_consistent_views, max(2, len(registered) - 1)
+    )
+
+    for r in registered:
+        # Nearest registered sources by camera-center distance.
+        others = [v for v in registered if v != r]
+        others.sort(key=lambda v: np.linalg.norm(centers[v] - centers[r]))
+        srcs = others[:n_sources]
+        if not srcs:
+            continue
+        # Depth range from sparse points in this camera.
+        z = np.asarray(
+            pts @ np.asarray(R_all[r]).T[:, 2] + float(t_all[r, 2])
+        )
+        z = np.where(pts_valid, z, -1.0)
+        depths = make_depth_hypotheses(
+            jnp.asarray(z), config.n_depth_planes
+        )
+        # Source-from-reference transforms.
+        R_rs = jnp.stack([R_all[s] @ R_all[r].T for s in srcs])
+        t_rs = jnp.stack(
+            [t_all[s] - R_all[s] @ R_all[r].T @ t_all[r] for s in srcs]
+        )
+        dm = sweep_depth_map(
+            gray[r],
+            gray[jnp.asarray(srcs)],
+            K,
+            R_rs,
+            t_rs,
+            jnp.ones(len(srcs), bool),
+            depths,
+            min_score=config.ncc_threshold,
+            window=config.window_size,
+        )
+        depth_maps[r] = np.asarray(dm.depth)
+        log.info(
+            "view %d: %.0f%% pixels pass NCC>=%.2f",
+            r,
+            100.0 * float((dm.depth > 0).mean()),
+            config.ncc_threshold,
+        )
+
+    # Fusion.
+    dm_j = jnp.asarray(depth_maps)
+    all_pts, all_cols = [], []
+    for r in registered:
+        fused = fuse_view(
+            jnp.asarray(r),
+            dm_j,
+            color,
+            R_all,
+            t_all,
+            K,
+            jnp.asarray(cam_valid),
+            min_consistent=min_consistent,
+            depth_consistency=config.depth_consistency,
+        )
+        v = np.asarray(fused.valid)
+        all_pts.append(np.asarray(fused.points)[v])
+        all_cols.append(np.asarray(fused.colors)[v])
+    points = np.concatenate(all_pts) if all_pts else np.zeros((0, 3))
+    colors = np.concatenate(all_cols) if all_cols else np.zeros((0, 3))
+    # Voxel dedup at ~the sparse merge radius scaled by scene size.
+    if len(points):
+        bbox = np.percentile(points, [2, 98], axis=0)
+        voxel = float(np.linalg.norm(bbox[1] - bbox[0])) / 400.0
+        points, colors = voxel_downsample(points, colors, max(voxel, 1e-6))
+    metrics = {
+        "n_dense_points": float(len(points)),
+        "n_views_swept": float(len(registered)),
+        "t_dense": time.time() - t_start,
+    }
+    log.info(
+        "dense: %d points from %d views in %.1fs",
+        len(points),
+        len(registered),
+        metrics["t_dense"],
+    )
+    return DenseResult(
+        points=points.astype(np.float32),
+        colors=colors.astype(np.float32),
+        depth_maps=depth_maps,
+        metrics=metrics,
+    )
