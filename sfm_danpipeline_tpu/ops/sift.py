@@ -503,8 +503,16 @@ def detect_and_compute(
 def detect_and_compute_batch(
     gray: jnp.ndarray, config: FeatureConfig = FeatureConfig()
 ) -> Keypoints:
-    """Batched detection over (N, H, W) — the whole image set at once
-    (reference loops images one by one at src/Sfm.cpp:283)."""
-    return jax.vmap(lambda g: _detect_impl(g, config, config.max_keypoints))(
-        gray
-    )
+    """Batched detection over (N, H, W) — the whole image set
+    (reference loops images one by one at src/Sfm.cpp:283).
+
+    Implemented as a host loop reusing ONE compiled single-image program
+    rather than a vmapped mega-graph: the vmapped version stalls the TPU
+    remote compiler for tens of minutes while the loop pays only ~N jit
+    dispatches against a cached executable.
+    """
+    outs = [
+        _detect_impl(gray[i], config, config.max_keypoints)
+        for i in range(gray.shape[0])
+    ]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)

@@ -9,8 +9,9 @@ reference iterates its std::map ascending and takes the FIRST surviving
 candidate — i.e. the LOWEST ratio (src/Sfm.cpp:420,489) — an ordering bug;
 we take the argmax and document the divergence (SURVEY.md §7 non-goals).
 
-TPU formulation: all pair scoring is one vmapped computation over the pair
-axis — the batched form of HOT LOOP #1 (src/Sfm.cpp:509-583).
+TPU formulation: matching is batched over the pair axis (HOT LOOP #1,
+src/Sfm.cpp:509-583); pair *scoring* reuses one compiled single-pair
+RANSAC program from a host loop (see score_pairs docstring).
 """
 from __future__ import annotations
 
@@ -39,6 +40,32 @@ class PairScores(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def _score_one_pair(
+    key: jax.Array,
+    m: PairMatches,
+    pa: jnp.ndarray,
+    pb: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    config: PipelineConfig,
+):
+    x1 = undistort_points(pa, K, dist)
+    x2 = undistort_points(pb, K, dist)
+    pose = estimate_relative_pose(
+        key,
+        x1,
+        x2,
+        m.valid,
+        focal=K[0, 0],
+        threshold_px=config.geometry.essential_threshold_px,
+        n_hypotheses=config.geometry.essential_ransac_iters,
+    )
+    n = jnp.sum(m.valid)
+    ratio = pose.n_inliers / jnp.maximum(n, 1)
+    usable = (n >= config.matching.min_pair_matches) & pose.ok
+    return ratio, n, usable
+
+
 def score_pairs(
     key: jax.Array,
     matches: PairMatches,  # batched over pairs (leading dim NP)
@@ -49,34 +76,41 @@ def score_pairs(
     dist: jnp.ndarray,
     config: PipelineConfig,
 ) -> PairScores:
-    """Score all pairs by pose-inlier ratio (vmapped over the pair axis)."""
-    focal = K[0, 0]
+    """Score all pairs by pose-inlier ratio.
 
-    def one(k, m, i, j):
-        pa = keypoints_xy[i, m.idx_a]
-        pb = keypoints_xy[j, m.idx_b]
-        x1 = undistort_points(pa, K, dist)
-        x2 = undistort_points(pb, K, dist)
-        pose = estimate_relative_pose(
-            k,
-            x1,
-            x2,
-            m.valid,
-            focal=focal,
-            threshold_px=config.geometry.essential_threshold_px,
-            n_hypotheses=config.geometry.essential_ransac_iters,
+    Host loop over pairs reusing ONE compiled single-pair program: vmapping
+    the full RANSAC+refinement graph over the pair axis multiplies XLA
+    compile cost (observed: tens of minutes stuck in the TPU remote
+    compiler), while per-pair dispatch of the cached executable costs
+    milliseconds. Pairs under the reference's >=120-match gate
+    (src/Sfm.cpp:533) are skipped without spending a RANSAC.
+    """
+    NP = int(pair_i.shape[0])
+    keys = jax.random.split(key, NP)
+    counts = jax.device_get(matches.count)
+    ratios, ns, usables = [], [], []
+    for p in range(NP):
+        if counts[p] < config.matching.min_pair_matches:
+            ratios.append(-1.0)
+            ns.append(int(counts[p]))
+            usables.append(False)
+            continue
+        m = jax.tree_util.tree_map(lambda a: a[p], matches)
+        pa = keypoints_xy[pair_i[p], m.idx_a]
+        pb = keypoints_xy[pair_j[p], m.idx_b]
+        ratio, n, usable = _score_one_pair(
+            keys[p], m, pa, pb, K, dist, config
         )
-        n = jnp.sum(m.valid)
-        ratio = pose.n_inliers / jnp.maximum(n, 1)
-        usable = (n >= config.matching.min_pair_matches) & pose.ok
-        return ratio, n, usable
-
-    keys = jax.random.split(key, pair_i.shape[0])
-    ratio, n, usable = jax.vmap(one)(keys, matches, pair_i, pair_j)
+        ratios.append(float(ratio))
+        ns.append(int(n))
+        usables.append(bool(usable))
+    usable_arr = jnp.asarray(usables)
     return PairScores(
-        pose_inlier_ratio=jnp.where(usable, ratio, -1.0),
-        n_matches=n,
-        usable=usable,
+        pose_inlier_ratio=jnp.where(
+            usable_arr, jnp.asarray(ratios, jnp.float32), -1.0
+        ),
+        n_matches=jnp.asarray(ns, jnp.int32),
+        usable=usable_arr,
     )
 
 

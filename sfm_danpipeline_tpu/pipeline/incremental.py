@@ -27,6 +27,36 @@ from sfm_danpipeline_tpu.pipeline.tracks import (
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def epipolar_filter_matches(
+    key: jax.Array,
+    pn: jnp.ndarray,  # (M, 2) new-view pixel positions of matches
+    pd: jnp.ndarray,  # (M, 2) done-view pixel positions
+    valid: jnp.ndarray,  # (M,)
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    config: PipelineConfig,
+) -> jnp.ndarray:
+    """Prune one view pair's matches to their two-view epipolar consensus.
+
+    The reference prunes matches with a homography at 2.5 px before use
+    (prunedMatchingWithHomography, src/Sfm.cpp:610-662); the essential
+    matrix band is the correct non-planar analogue. Falls back to the raw
+    matches when the pair is too thin to fit a model.
+    """
+    from sfm_danpipeline_tpu.ops.epipolar import estimate_relative_pose
+
+    xn = undistort_points(pn, K, dist)
+    xd = undistort_points(pd, K, dist)
+    pose = estimate_relative_pose(
+        key, xn, xd, valid, focal=K[0, 0],
+        threshold_px=config.geometry.essential_threshold_px,
+        n_hypotheses=config.geometry.essential_ransac_iters,
+    )
+    use = pose.ok & (jnp.sum(valid) >= 2 * config.geometry.min_pose_points)
+    return jnp.where(use, valid & pose.inliers, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def register_view(
     key: jax.Array,
     state: ReconstructionState,
@@ -44,35 +74,14 @@ def register_view(
     """PnP-register `new_view` from 2D-3D correspondences through the track
     table (src/Sfm.cpp:946-961). Returns (state, ok, n_inliers).
 
-    Before the 2D-3D lookup, each done view's matches are pruned to their
-    two-view epipolar consensus (the reference prunes with a homography at
-    2.5 px, src/Sfm.cpp:610-662; the essential-matrix band is the correct
-    non-planar analogue). At wide baselines the raw ratio-test match sets
-    run >50% outliers and unfiltered PnP starves.
+    `match_valid` is expected to be pre-pruned per done view with
+    `epipolar_filter_matches` (the non-planar analogue of the reference's
+    homography pruning, src/Sfm.cpp:610-662): at wide baselines the raw
+    ratio-test match sets run >50% outliers and unfiltered PnP starves.
+    The filter runs in the driver's host loop so its RANSAC program is
+    compiled once per shape, not vmapped into this graph.
     """
-    from sfm_danpipeline_tpu.ops.epipolar import estimate_relative_pose
-
     D, M = match_feat_new.shape
-    key, k_epi = jax.random.split(key)
-
-    def epi_filter(k, d_idx):
-        dv = done_views[d_idx]
-        valid = match_valid[d_idx] & (dv >= 0)
-        pn = keypoints_xy[new_view, match_feat_new[d_idx]]
-        pd = keypoints_xy[jnp.clip(dv, 0), match_feat_done[d_idx]]
-        xn = undistort_points(pn, K, dist)
-        xd = undistort_points(pd, K, dist)
-        pose = estimate_relative_pose(
-            k, xn, xd, valid, focal=K[0, 0],
-            threshold_px=config.geometry.essential_threshold_px,
-            n_hypotheses=config.geometry.essential_ransac_iters,
-        )
-        # Fall back to the raw matches when the pair is too thin to fit.
-        use = pose.ok & (jnp.sum(valid) >= 2 * config.geometry.min_pose_points)
-        return jnp.where(use, valid & pose.inliers, valid)
-
-    epi_keys = jax.random.split(k_epi, D)
-    filtered_valid = jax.vmap(epi_filter)(epi_keys, jnp.arange(D))
 
     def collect(d_idx):
         dv = done_views[d_idx]
@@ -82,7 +91,7 @@ def register_view(
             jnp.clip(dv, 0),
             match_feat_new[d_idx],
             match_feat_done[d_idx],
-            filtered_valid[d_idx],
+            match_valid[d_idx] & (dv >= 0),
         )
         return p, fnew, m
 

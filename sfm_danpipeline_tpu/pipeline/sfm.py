@@ -31,6 +31,7 @@ from sfm_danpipeline_tpu.pipeline.bootstrap import (
     score_pairs,
 )
 from sfm_danpipeline_tpu.pipeline.incremental import (
+    epipolar_filter_matches,
     register_view,
     triangulate_new_view,
 )
@@ -286,8 +287,15 @@ class SfMPipeline:
         feat_done = np.zeros((D, M), np.int32)
         mvalid = np.zeros((D, M), bool)
         dv = np.full((D,), -1, np.int32)
+        keys = jax.random.split(key, len(done_list) + 1)
+        key = keys[0]
         for n, d in enumerate(done_list):
             fn, fd, mv = self._pair_feats(new_view, d, matches, pair_idx)
+            pn = kp.xy[new_view, fn]
+            pd = kp.xy[d, fd]
+            mv = epipolar_filter_matches(
+                keys[n + 1], pn, pd, mv, K, dist, self.config
+            )
             feat_new[n] = np.asarray(fn)
             feat_done[n] = np.asarray(fd)
             mvalid[n] = np.asarray(mv)
