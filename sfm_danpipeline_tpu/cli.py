@@ -65,7 +65,8 @@ def main(argv=None) -> int:
     from sfm_danpipeline_tpu.config import PipelineConfig
     from sfm_danpipeline_tpu.io.calibration import load_calibration
     from sfm_danpipeline_tpu.io.images import load_images
-    from sfm_danpipeline_tpu.io.ply import write_pcd, write_ply
+    from sfm_danpipeline_tpu.io.native import write_ply_fast as write_ply
+    from sfm_danpipeline_tpu.io.ply import write_pcd
 
     cfg = PipelineConfig()
     cfg = dataclasses.replace(

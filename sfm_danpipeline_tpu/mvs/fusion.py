@@ -82,10 +82,11 @@ def voxel_downsample(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side voxel-grid dedup (one representative point per voxel) —
     the cloud-assembly analogue of the reference's 0.01 merge radius
-    (src/Sfm.cpp:1216) applied at dense scale."""
+    (src/Sfm.cpp:1216) applied at dense scale. Uses the native hash-grid
+    (native/cloudio.cpp) when built; numpy unique otherwise."""
     if len(points) == 0:
         return points, colors
-    keys = np.floor(points / voxel).astype(np.int64)
-    _, idx = np.unique(keys, axis=0, return_index=True)
-    idx = np.sort(idx)
+    from sfm_danpipeline_tpu.io.native import voxel_downsample_fast
+
+    idx = voxel_downsample_fast(points, voxel)
     return points[idx], colors[idx]
