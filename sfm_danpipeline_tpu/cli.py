@@ -35,6 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--max-points", type=int, default=16384)
     p.add_argument("--max-keypoints", type=int, default=2048)
+    p.add_argument(
+        "--detector", choices=["sift", "orb"], default="sift",
+        help="feature detector (reference's selector, include/Sfm.h:40-61)",
+    )
+    p.add_argument(
+        "--matcher", choices=["bf", "flow"], default="bf",
+        help="bf = descriptor kNN + ratio; flow = pyramidal LK tracking",
+    )
     p.add_argument("--ratio", type=float, default=0.8, help="Lowe ratio")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
@@ -73,9 +81,13 @@ def main(argv=None) -> int:
         cfg,
         max_points=args.max_points,
         features=dataclasses.replace(
-            cfg.features, max_keypoints=args.max_keypoints
+            cfg.features,
+            max_keypoints=args.max_keypoints,
+            detector=args.detector,
         ),
-        matching=dataclasses.replace(cfg.matching, ratio=args.ratio),
+        matching=dataclasses.replace(
+            cfg.matching, ratio=args.ratio, method=args.matcher
+        ),
         geometry=dataclasses.replace(cfg.geometry, seed=args.seed),
     )
 

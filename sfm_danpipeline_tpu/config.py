@@ -17,8 +17,11 @@ from typing import Tuple
 
 @dataclasses.dataclass(frozen=True)
 class FeatureConfig:
-    """SIFT-style feature detection (reference: src/Sfm.cpp:303-392, OpenCV SIFT defaults)."""
+    """Feature detection (reference: src/Sfm.cpp:303-392, OpenCV SIFT defaults)."""
 
+    # Detector selection ("sift" | "orb") — the reference selects SIFT /
+    # AKAZE / ORB by an int (include/Sfm.h:40-61); SIFT is its default.
+    detector: str = "sift"
     # Maximum keypoints kept per image (fixed shape for jit; OpenCV default 0 = unlimited,
     # practical counts on 640x480 are ~1-3k).
     max_keypoints: int = 2048
@@ -44,8 +47,15 @@ class FeatureConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MatchConfig:
-    """Pairwise descriptor matching (reference: src/Sfm.cpp:590-608)."""
+    """Pairwise matching (reference: src/Sfm.cpp:590-608; alternative
+    optical-flow path at src/Sfm.cpp:1399-1474)."""
 
+    # Matching method: "bf" (descriptor kNN + ratio) or "flow"
+    # (pyramidal LK track + radius association, the reference's
+    # MatchFeatures alternative).
+    method: str = "bf"
+    # LK association radius in px (reference radiusMatch).
+    flow_radius: float = 3.0
     # Lowe ratio test threshold (reference include/Sfm.h:60: NN_MATCH_RATIO=0.8).
     ratio: float = 0.8
     # Minimum ratio-test matches for a usable pair (reference src/Sfm.cpp:533).

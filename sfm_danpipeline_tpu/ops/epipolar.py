@@ -224,28 +224,62 @@ def estimate_relative_pose(
     def residuals(E):
         return sampson_distance(E, x1, x2)
 
-    E0, band, _ = ransac(key, fit, residuals, valid, n_hypotheses, 8, refit_n2)
+    # MSAC over all hypotheses, but model selection is cheirality-aware:
+    # on narrow baselines several ambiguous essential matrices explain the
+    # matches to ~1 px Sampson while triangulating points BEHIND the
+    # cameras. Take the top-T truncated-loss hypotheses, decompose each,
+    # count in-front points, and select by (front count, then MSAC score).
+    from sfm_danpipeline_tpu.ops.ransac import sample_indices
 
-    # Disambiguate the minimal model's 4 decompositions by cheirality on its
-    # consensus band, THEN polish geometrically in pose space (Gauss-Newton
-    # on Sampson distance) and re-expand the band.
-    Rs, ts = decompose_essential(E0)
-    counts = _cheirality_counts(Rs, ts, x1, x2, band)
-    best = jnp.argmax(counts)
-    R, t = Rs[best], ts[best]
+    idx = sample_indices(key, valid, n_hypotheses, 8)
+    models = jax.vmap(fit)(idx)
+    res = jax.vmap(residuals)(models)
+    res = jnp.where(valid[None, :], res, 0.0)
+    scores = jnp.sum(jnp.minimum(res, refit_n2), axis=-1)
+    T = 8
+    _, top = jax.lax.top_k(-scores, T)
+
+    def eval_candidate(h):
+        E_h = models[top[h]]
+        band_h = (res[top[h]] < refit_n2) & valid
+        Rs_h, ts_h = decompose_essential(E_h)
+        counts_h = _cheirality_counts(Rs_h, ts_h, x1, x2, band_h)
+        b = jnp.argmax(counts_h)
+        return counts_h[b], Rs_h[b], ts_h[b], band_h
+
+    fronts, Rs_c, ts_c, bands_c = jax.vmap(eval_candidate)(jnp.arange(T))
+    pick = jnp.argmax(fronts)
+    R0, t0 = Rs_c[pick], ts_c[pick]
+    band0 = bands_c[pick]
+    counts0 = fronts
+    best0 = pick
+    unref_front0 = fronts[pick]
+
+    R, t, band = R0, t0, band0
     for _ in range(2):
         R, t = _refine_pose_sampson(R, t, x1, x2, band.astype(x1.dtype))
         E = essential_from_pose(R, t)
         band = (sampson_distance(E, x1, x2) < refit_n2) & valid
-
+    # Sampson depends only on E, and on narrow baselines the ambiguity
+    # surface has low-Sampson minima whose points triangulate BEHIND the
+    # cameras. Re-decompose the refined E, re-select by cheirality, and
+    # keep the refined pose only if it beats the unrefined one on
+    # (in-front count, inlier count) — never worse than the MSAC model.
     E = essential_from_pose(R, t)
-    # Inliers for downstream triangulation seeding use the refit band; the
-    # 6 px triangulation gate (src/Sfm.cpp:850) re-filters afterwards.
-    inliers = band
+    Rs2, ts2 = decompose_essential(E)
+    counts2 = _cheirality_counts(Rs2, ts2, x1, x2, band)
+    best2 = jnp.argmax(counts2)
+    refined_front = counts2[best2]
+    unref_front = unref_front0
+    n_ref = jnp.sum(band)
+    # Accept the refinement only when its in-front fraction is healthy.
+    use_refined = refined_front >= (n_ref + 1) // 2
+    R = jnp.where(use_refined, Rs2[best2], R0)
+    t = jnp.where(use_refined, ts2[best2], t0)
+    inliers = jnp.where(use_refined, band, band0)
+    E = essential_from_pose(R, t)
     n_in = jnp.sum(inliers)
-    # Ensure the polished pose kept cheirality (re-count, guard against the
-    # twisted pair): src/Sfm.cpp:791-799's det check plus in-front count.
-    front = _cheirality_counts(R[None], t[None], x1, x2, inliers)[0]
+    front = jnp.where(use_refined, refined_front, unref_front)
     det_ok = jnp.abs(jnp.abs(jnp.linalg.det(R)) - 1.0) < 1e-4
     ok = det_ok & (n_in >= min_points) & (front >= n_in // 2)
     return RelativePose(R=R, t=t, E=E, inliers=inliers, n_inliers=n_in, ok=ok)

@@ -1,0 +1,221 @@
+"""ORB-style feature detection: FAST corners + rotated BRIEF descriptors.
+
+The reference's feature stage selects SIFT / AKAZE / ORB by an integer
+(include/Sfm.h:40-61, src/Sfm.cpp:303-392). This module provides the ORB
+path TPU-natively:
+
+ - FAST-9/16 corner test as 16 shifted whole-image comparisons + a
+   contiguous-run reduction (pure VPU, no per-pixel control flow).
+ - Harris corner response for ranking (ORB's HARRIS_SCORE default).
+ - Image pyramid (scaleFactor 1.2, nlevels 8 — OpenCV ORB defaults).
+ - Orientation by intensity centroid (patch radius 15).
+ - 256-bit BRIEF on a seeded Gaussian pattern, steered by the orientation.
+   Bits are emitted as float32 0/1 so squared-L2 on the existing matcher
+   equals Hamming distance (and rides the MXU matmul).
+
+Note: the bit pattern is our own PRNG-generated one (BRIEF's original
+recipe), not OpenCV's learned table — descriptors are internally
+consistent, not byte-compatible with OpenCV's.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_danpipeline_tpu.ops.interp import bilinear_sample
+from sfm_danpipeline_tpu.ops.sift import Keypoints
+
+# Bresenham circle of radius 3 (the FAST-16 ring), clockwise from 12h.
+_RING = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2),
+        (-1, -3),
+    ],
+    np.int32,
+)
+
+
+def _fast_response(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST-9/16 corner mask (H, W): >= 9 contiguous ring pixels all
+    brighter than c+t or all darker than c-t."""
+    shifted = jnp.stack(
+        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dx, dy in _RING]
+    )  # (16, H, W); ring pixel value at each center
+    brighter = shifted > img[None] + threshold
+    darker = shifted < img[None] - threshold
+
+    def has_run9(mask):
+        # Wrap-around contiguous run of >= 9: AND of 9 consecutive rotations.
+        db = jnp.concatenate([mask, mask[:8]], axis=0)  # (24, H, W)
+        runs = jnp.stack(
+            [jnp.all(db[s : s + 9], axis=0) for s in range(16)]
+        )
+        return jnp.any(runs, axis=0)
+
+    return has_run9(brighter) | has_run9(darker)
+
+
+def _harris_response(img: jnp.ndarray, k: float = 0.04) -> jnp.ndarray:
+    """Harris corner measure with a 7x7 sum window (ORB's ranking score)."""
+    gx = jnp.zeros_like(img).at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    gy = jnp.zeros_like(img).at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+
+    def box(x):
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (7, 7), (1, 1), "SAME"
+        )
+
+    sxx = box(gx * gx)
+    syy = box(gy * gy)
+    sxy = box(gx * gy)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - k * tr * tr
+
+
+def _orientation_centroid(
+    img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, radius: int = 15
+) -> jnp.ndarray:
+    """Intensity-centroid orientation (Rosin): atan2(m01, m10) over a
+    circular patch. x, y: (K,) keypoint centers."""
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    dv, du = jnp.meshgrid(d, d, indexing="ij")
+    circle = (du * du + dv * dv) <= radius * radius
+
+    def one(xk, yk):
+        vals = bilinear_sample(
+            img, xk + du.reshape(-1), yk + dv.reshape(-1)
+        ).reshape(du.shape)
+        vals = jnp.where(circle, vals, 0.0)
+        m10 = jnp.sum(du * vals)
+        m01 = jnp.sum(dv * vals)
+        return jnp.arctan2(m01, m10)
+
+    return jax.vmap(one)(x, y)
+
+
+def _brief_pattern(n_bits: int = 256, patch: int = 31, seed: int = 7):
+    """Seeded isotropic-Gaussian point pairs (BRIEF recipe, sigma=patch/5)."""
+    rng = np.random.default_rng(seed)
+    sigma = patch / 5.0
+    pts = rng.normal(0.0, sigma, (n_bits, 4)).clip(
+        -(patch // 2), patch // 2
+    )
+    return jnp.asarray(pts, jnp.float32)  # (n_bits, [x1 y1 x2 y2])
+
+
+_PATTERN = _brief_pattern()
+
+
+def _brief_descriptors(
+    img: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    angle: jnp.ndarray,
+) -> jnp.ndarray:
+    """Steered BRIEF: rotate the pattern by the keypoint angle, compare
+    smoothed intensities. Returns (K, 256) float32 of {0, 1}."""
+
+    def one(xk, yk, ak):
+        ca, sa = jnp.cos(ak), jnp.sin(ak)
+        px1 = _PATTERN[:, 0] * ca - _PATTERN[:, 1] * sa
+        py1 = _PATTERN[:, 0] * sa + _PATTERN[:, 1] * ca
+        px2 = _PATTERN[:, 2] * ca - _PATTERN[:, 3] * sa
+        py2 = _PATTERN[:, 2] * sa + _PATTERN[:, 3] * ca
+        a = bilinear_sample(img, xk + px1, yk + py1)
+        b = bilinear_sample(img, xk + px2, yk + py2)
+        return (a < b).astype(jnp.float32)
+
+    return jax.vmap(one)(x, y, angle)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_keypoints", "n_levels", "threshold")
+)
+def _orb_impl(
+    gray: jnp.ndarray,
+    max_keypoints: int,
+    n_levels: int,
+    threshold: float,
+) -> Keypoints:
+    H, W = gray.shape
+    scale_step = 1.2
+    per_level = []
+    img = gray
+    scale = 1.0
+    for lvl in range(n_levels):
+        h, w = img.shape
+        if min(h, w) < 48:
+            break
+        # Light pre-smoothing stabilizes FAST + BRIEF.
+        from sfm_danpipeline_tpu.ops.sift import gaussian_blur
+
+        smooth = gaussian_blur(img, 1.0)
+        corners = _fast_response(smooth, threshold)
+        harris = _harris_response(smooth)
+        border = 20
+        bmask = jnp.zeros((h, w), bool).at[border:-border, border:-border].set(True)
+        resp = jnp.where(corners & bmask, harris, -jnp.inf)
+        k_lvl = max(max_keypoints // (2 ** lvl), 64)
+        k_lvl = min(k_lvl, h * w)
+        vals, idx = jax.lax.top_k(resp.reshape(-1), k_lvl)
+        yy = (idx // w).astype(jnp.float32)
+        xx = (idx % w).astype(jnp.float32)
+        valid = jnp.isfinite(vals) & (vals > 0)
+        ang = _orientation_centroid(smooth, xx, yy)
+        desc = _brief_descriptors(smooth, xx, yy, ang)
+        per_level.append(
+            (
+                xx * scale,
+                yy * scale,
+                jnp.full_like(xx, scale * 7.0),  # nominal patch scale
+                ang,
+                jnp.where(valid, vals, 0.0),
+                desc,
+                valid,
+            )
+        )
+        # Downsample by 1.2 via bilinear resize.
+        nh, nw = int(round(h / scale_step)), int(round(w / scale_step))
+        img = jax.image.resize(img, (nh, nw), "bilinear")
+        scale *= scale_step
+
+    xs = jnp.concatenate([p[0] for p in per_level])
+    ys = jnp.concatenate([p[1] for p in per_level])
+    sig = jnp.concatenate([p[2] for p in per_level])
+    ang = jnp.concatenate([p[3] for p in per_level])
+    resp = jnp.concatenate([p[4] for p in per_level])
+    desc = jnp.concatenate([p[5] for p in per_level])
+    valid = jnp.concatenate([p[6] for p in per_level])
+    score = jnp.where(valid, resp, -1.0)
+    _, top = jax.lax.top_k(score, max_keypoints)
+    return Keypoints(
+        xy=jnp.stack([xs[top], ys[top]], axis=-1),
+        sigma=sig[top],
+        angle=ang[top],
+        response=resp[top],
+        descriptors=desc[top],
+        valid=valid[top] & (score[top] > 0),
+    )
+
+
+def detect_and_compute_orb(
+    gray: jnp.ndarray,
+    max_keypoints: int = 2048,
+    n_levels: int = 8,
+    threshold: float = 0.08,
+) -> Keypoints:
+    """ORB keypoints + 256-d binary (0/1 float) descriptors for one image.
+
+    Defaults mirror OpenCV ORB (nlevels=8, scaleFactor=1.2); `threshold`
+    is FAST's intensity delta in [0,1] units (OpenCV's 20/255 ~ 0.078).
+    Descriptors match with the standard matcher: L2^2 == Hamming. Use
+    ratio ~0.9 for binary descriptors (Lowe's 0.8 is tuned for SIFT).
+    """
+    return _orb_impl(gray, max_keypoints, n_levels, threshold)

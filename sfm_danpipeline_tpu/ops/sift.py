@@ -85,24 +85,31 @@ def _gaussian_kernel(sigma: float) -> np.ndarray:
 
 def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur with reflect-101 padding (cv::GaussianBlur
-    BORDER_DEFAULT). img: (H, W). sigma is a static Python float."""
+    BORDER_DEFAULT). img: (H, W). sigma is a static Python float.
+
+    Implemented as explicit shift-multiply-adds (slices of a padded array)
+    rather than conv_general_dilated: a single-channel conv forces XLA's
+    TPU conv path to pad C=1 up to full vector registers and ran ~200x off
+    roofline (385 ms/image for the pyramid); the shift-add form is plain
+    fusible VPU code.
+    """
     if sigma <= 0:
         return img
-    k = jnp.asarray(_gaussian_kernel(sigma))
-    r = (k.shape[0] - 1) // 2
+    k = _gaussian_kernel(sigma)
+    r = (len(k) - 1) // 2
     # Rows.
     x = jnp.pad(img, ((0, 0), (r, r)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID",
-        preferred_element_type=jnp.float32,
-    )[0, 0]
+    acc = jnp.zeros_like(img)
+    W = img.shape[1]
+    for i, w in enumerate(k):
+        acc = acc + float(w) * jax.lax.slice_in_dim(x, i, i + W, axis=1)
     # Cols.
-    x = jnp.pad(x, ((r, r), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID",
-        preferred_element_type=jnp.float32,
-    )[0, 0]
-    return x
+    x = jnp.pad(acc, ((r, r), (0, 0)), mode="reflect")
+    H = img.shape[0]
+    out = jnp.zeros_like(img)
+    for i, w in enumerate(k):
+        out = out + float(w) * jax.lax.slice_in_dim(x, i, i + H, axis=0)
+    return out
 
 
 def _upsample2(img: jnp.ndarray) -> jnp.ndarray:
@@ -246,21 +253,27 @@ def _orientation(
     keypoint geometry. Returns angle (K,) in [0, 2pi).
     """
     nbins = config.orientation_bins
-    r = _ORI_PATCH_R
-    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    dv, du = jnp.meshgrid(d, d, indexing="ij")  # dv = row offsets, du = cols
+    # Fixed 16x16 grid scaled by the keypoint's sigma (spacing ~0.56*sigma,
+    # above the blurred image's Nyquist) instead of a 31x31 unit-spacing
+    # patch: 3.75x fewer gathers, the detect stage's dominant cost.
+    n = 16
+    tlin = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n * 2.0 - 1.0
+    tv, tu = jnp.meshgrid(tlin, tlin, indexing="ij")
+    tu = tu.reshape(-1)
+    tv = tv.reshape(-1)
+    t2 = tu * tu + tv * tv
+    # Gaussian weight with sigma_w = 1.5*sigma over radius 4.5*sigma:
+    # in normalized units exp(-(4.5 t)^2 / (2*1.5^2)) = exp(-4.5 t^2).
+    w = jnp.where(t2 <= 1.0, jnp.exp(-4.5 * t2), 0.0)
 
     def per_kp(level_k, x_k, y_k, sig_k):
-        xs = x_k + du.reshape(-1)
-        ys = y_k + dv.reshape(-1)
+        rad = 4.5 * sig_k
+        xs = x_k + tu * rad
+        ys = y_k + tv * rad
         gxs = bilinear_sample_level(gx, level_k, xs, ys)
         gys = bilinear_sample_level(gy, level_k, xs, ys)
         mag = jnp.sqrt(gxs * gxs + gys * gys)
         ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
-        r2 = (du * du + dv * dv).reshape(-1)
-        sig_w = 1.5 * sig_k
-        w = jnp.exp(-r2 / (2.0 * sig_w * sig_w))
-        w = jnp.where(r2 <= (4.5 * sig_k) ** 2, w, 0.0)
         fbin = (ang + jnp.pi) / (2.0 * jnp.pi) * nbins
         b0 = jnp.floor(fbin).astype(jnp.int32) % nbins
         fb = fbin - jnp.floor(fbin)
@@ -397,12 +410,42 @@ def _detect_octave(
     mask = jnp.zeros((H, W), bool).at[border:-border, border:-border].set(True)
     resp = jnp.where(mask[None], resp, 0.0)
 
-    flat = resp.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, k_octave)
-    s = idx // (H * W)
-    rem = idx % (H * W)
-    yy = rem // W
-    xx = rem % W
+    # Candidate selection via block-max pre-reduction: a global top_k is a
+    # full sort of S*H*W elements (~1 s/image on TPU for the 4 octaves);
+    # max-pooling 4x4 blocks first shrinks the sort 16x and doubles as
+    # spatial NMS (at most one candidate per 4x4 cell — near-duplicate
+    # extrema are redundant anyway).
+    B = 4
+    Hp, Wp = -(-H // B) * B, -(-W // B) * B
+    resp_p = jnp.pad(resp, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    bmax = jax.lax.reduce_window(
+        resp_p, -jnp.inf, jax.lax.max, (1, B, B), (1, B, B), "VALID"
+    )  # (S, Hp/B, Wp/B)
+    nby, nbx = Hp // B, Wp // B
+    k_red = min(k_octave, S * nby * nbx)
+    vals, idx = jax.lax.top_k(bmax.reshape(-1), k_red)
+    if k_red < k_octave:
+        vals = jnp.pad(vals, (0, k_octave - k_red))
+        idx = jnp.pad(idx, (0, k_octave - k_red))
+    s = idx // (nby * nbx)
+    rem = idx % (nby * nbx)
+    by = rem // nbx
+    bx = rem % nbx
+    # Locate the argmax inside each winning block.
+    oy = jnp.arange(B)
+    ox = jnp.arange(B)
+    cell_y = by[:, None, None] * B + oy[None, :, None]  # (K, B, 1)
+    cell_x = bx[:, None, None] * B + ox[None, None, :]  # (K, 1, B)
+    cell = resp_p[
+        s[:, None, None],
+        jnp.broadcast_to(cell_y, (k_octave, B, B)),
+        jnp.broadcast_to(cell_x, (k_octave, B, B)),
+    ].reshape(k_octave, B * B)
+    local = jnp.argmax(cell, axis=-1)
+    yy = by * B + local // B
+    xx = bx * B + local % B
+    yy = jnp.clip(yy, 0, H - 1)
+    xx = jnp.clip(xx, 0, W - 1)
     cand_ok = vals > 0.0
 
     offset, contrast, quality_ok, conv_ok = _refine_candidates(

@@ -107,11 +107,24 @@ class SfMPipeline:
         pp = jnp.asarray([intrinsics.cx, intrinsics.cy], jnp.float32)
         max_dim = float(max(images.shape))
 
-        # 1. Features (src/Sfm.cpp:257-327) — whole batch at once.
+        # 1. Features (src/Sfm.cpp:257-327) — whole batch; detector
+        # selectable like the reference's int switch (include/Sfm.h:40-61).
         t0 = time.time()
-        kp = detect_and_compute_batch(
-            jnp.asarray(images.gray), cfg.features
-        )
+        if cfg.features.detector == "orb":
+            from sfm_danpipeline_tpu.ops.orb import detect_and_compute_orb
+
+            outs = [
+                detect_and_compute_orb(
+                    jnp.asarray(images.gray[i]),
+                    max_keypoints=cfg.features.max_keypoints,
+                )
+                for i in range(V)
+            ]
+            kp = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+        else:
+            kp = detect_and_compute_batch(
+                jnp.asarray(images.gray), cfg.features
+            )
         jax.block_until_ready(kp.descriptors)
         metrics["t_features"] = time.time() - t0
         metrics["n_keypoints_mean"] = float(jnp.mean(jnp.sum(kp.valid, -1)))
@@ -122,17 +135,39 @@ class SfMPipeline:
         )
         colors = _keypoint_colors(images, kp)
 
-        # 2. All-pairs matching (HOT LOOP #1, src/Sfm.cpp:509-583).
+        # 2. All-pairs matching (HOT LOOP #1, src/Sfm.cpp:509-583);
+        # "flow" selects the reference's LK alternative (src/Sfm.cpp:1399).
         t0 = time.time()
         pi, pj = _pair_list(V)
-        matches = match_all_pairs(
-            kp.descriptors,
-            kp.valid,
-            jnp.asarray(pi),
-            jnp.asarray(pj),
-            ratio=cfg.matching.ratio,
-            max_matches=cfg.matching.max_matches,
-        )
+        if cfg.matching.method == "flow":
+            from sfm_danpipeline_tpu.ops.flow import flow_match_pair
+
+            gray_j = jnp.asarray(images.gray)
+            per_pair = [
+                flow_match_pair(
+                    gray_j[a],
+                    gray_j[b],
+                    kp.xy[a],
+                    kp.valid[a],
+                    kp.xy[b],
+                    kp.valid[b],
+                    radius=cfg.matching.flow_radius,
+                    max_matches=cfg.matching.max_matches,
+                )
+                for a, b in zip(pi, pj)
+            ]
+            matches = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *per_pair
+            )
+        else:
+            matches = match_all_pairs(
+                kp.descriptors,
+                kp.valid,
+                jnp.asarray(pi),
+                jnp.asarray(pj),
+                ratio=cfg.matching.ratio,
+                max_matches=cfg.matching.max_matches,
+            )
         jax.block_until_ready(matches.idx_a)
         metrics["t_matching"] = time.time() - t0
         metrics["n_pairs"] = len(pi)
