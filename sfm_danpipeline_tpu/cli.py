@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--stages",
         default="sfm,dense,segment,dendrometry",
-        help="comma-separated stages to run",
+        help="comma-separated stages: sfm,dense,mesh,segment,dendrometry",
     )
     p.add_argument("--max-points", type=int, default=16384)
     p.add_argument("--max-keypoints", type=int, default=2048)
@@ -106,6 +106,7 @@ def main(argv=None) -> int:
 
     points = colors = None
     state = None
+    dres = None
 
     if "sfm" not in stages and args.checkpoint and os.path.exists(args.checkpoint):
         # Resume: analysis/dense stages run from a saved reconstruction.
@@ -162,6 +163,36 @@ def main(argv=None) -> int:
             log.info("dense: %d points -> dense.ply, MAP3D.pcd", len(points))
         except ImportError:
             log.warning("dense stage not available yet; skipping")
+
+    if "mesh" in stages:
+        # Reference meshing stage (src/Sfm.cpp:1347-1383); here TSDF +
+        # marching tetrahedra over the dense depth maps.
+        if dres is None or state is None:
+            log.warning("mesh stage requires the dense stage; skipping")
+        else:
+            from sfm_danpipeline_tpu.mvs.meshing import (
+                mesh_from_depth_maps,
+                write_obj,
+            )
+            from sfm_danpipeline_tpu.ops.lie import exp_so3
+            import jax.numpy as _jnp
+
+            scale = 0.5 ** cfg.mvs.level
+            R = np.asarray(exp_so3(state.cameras[:, :3]))
+            t = np.asarray(state.cameras[:, 3:])
+            mesh = mesh_from_depth_maps(
+                dres.depth_maps,
+                R,
+                t,
+                intrinsics.scaled(scale).K,
+                np.asarray(state.camera_valid),
+                grid=2 ** cfg.analysis.mesh_poisson_depth,
+            )
+            write_obj(os.path.join(args.output, "mesh.obj"), mesh)
+            emit("mesh", {"n_vertices": len(mesh.vertices),
+                          "n_faces": len(mesh.faces)})
+            log.info("mesh: %d verts, %d faces -> mesh.obj",
+                     len(mesh.vertices), len(mesh.faces))
 
     if points is None:
         log.error("no cloud produced/loaded; nothing to analyze")

@@ -106,6 +106,11 @@ class BAConfig:
     """
 
     max_iterations: int = 50
+    # LM budget for the per-view (intermediate) adjustments during the
+    # incremental loop; the final global BA uses max_iterations. The
+    # reference intended per-view local BA + global polish
+    # (adjustCurrentBundle, src/Sfm.cpp:883-888,996).
+    intermediate_iterations: int = 12
     # LM damping schedule.
     init_lambda: float = 1e-3
     lambda_up: float = 10.0

@@ -146,6 +146,44 @@ def register_view(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def triangulate_new_view_all(
+    state: ReconstructionState,
+    new_view: jnp.ndarray,
+    done_views: jnp.ndarray,  # (D,) view ids, -1 = padding
+    feat_new: jnp.ndarray,  # (D, M)
+    feat_done: jnp.ndarray,  # (D, M)
+    valid: jnp.ndarray,  # (D, M)
+    keypoints_xy: jnp.ndarray,
+    colors: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    config: PipelineConfig,
+) -> Tuple[ReconstructionState, jnp.ndarray]:
+    """Triangulate the new view against EVERY done view in one jit
+    (lax.scan over the done axis — the reference's per-good-view loop,
+    src/Sfm.cpp:964-993, without one device dispatch per view)."""
+
+    def body(st, d):
+        st, n = triangulate_new_view(
+            st,
+            new_view,
+            jnp.clip(done_views[d], 0),
+            feat_new[d],
+            feat_done[d],
+            valid[d] & (done_views[d] >= 0),
+            keypoints_xy,
+            colors,
+            K,
+            dist,
+            config,
+        )
+        return st, n
+
+    state, ns = jax.lax.scan(body, state, jnp.arange(done_views.shape[0]))
+    return state, jnp.sum(ns)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def triangulate_new_view(
     state: ReconstructionState,
     new_view: jnp.ndarray,

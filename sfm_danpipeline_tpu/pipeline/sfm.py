@@ -33,7 +33,7 @@ from sfm_danpipeline_tpu.pipeline.bootstrap import (
 from sfm_danpipeline_tpu.pipeline.incremental import (
     epipolar_filter_matches,
     register_view,
-    triangulate_new_view,
+    triangulate_new_view_all,
 )
 from sfm_danpipeline_tpu.pipeline.tracks import (
     ReconstructionState,
@@ -207,7 +207,7 @@ class SfMPipeline:
         metrics["n_baseline_points"] = int(state.n_points)
         log.info("baseline: %d points", int(state.n_points))
 
-        state = self._run_global_ba(state, kp, pp, anchor=vi)
+        state = self._run_global_ba(state, kp, pp, anchor=vi, intermediate=True)
 
         # 4. Incremental loop (src/Sfm.cpp:893-1009).
         t0 = time.time()
@@ -241,17 +241,32 @@ class SfMPipeline:
                 log.info(
                     "view %d registered (%d PnP inliers)", new_view, int(n_inl)
                 )
-                # Triangulate against every registered view (src/Sfm.cpp:964-993).
-                for d in sorted(done):
+                # Triangulate against every registered view in one dispatch
+                # (src/Sfm.cpp:964-993).
+                D = V
+                M = matches.idx_a.shape[1]
+                fn_all = np.zeros((D, M), np.int32)
+                fd_all = np.zeros((D, M), np.int32)
+                mv_all = np.zeros((D, M), bool)
+                dv_all = np.full((D,), -1, np.int32)
+                for n, d in enumerate(sorted(done)):
                     fn, fd, mv = self._pair_feats(new_view, d, matches, pair_idx)
-                    state, n_new = triangulate_new_view(
-                        state, new_view, d, fn, fd, mv, kp.xy, colors, K,
-                        dist, cfg,
-                    )
+                    fn_all[n] = np.asarray(fn)
+                    fd_all[n] = np.asarray(fd)
+                    mv_all[n] = np.asarray(mv)
+                    dv_all[n] = d
+                state, n_new = triangulate_new_view_all(
+                    state, jnp.asarray(new_view, jnp.int32),
+                    jnp.asarray(dv_all), jnp.asarray(fn_all),
+                    jnp.asarray(fd_all), jnp.asarray(mv_all),
+                    kp.xy, colors, K, dist, cfg,
+                )
                 done.add(new_view)
                 progress = True
                 if run_ba_every_view:
-                    state = self._run_global_ba(state, kp, pp, anchor=vi)
+                    state = self._run_global_ba(
+                        state, kp, pp, anchor=vi, intermediate=True
+                    )
             if len(done) == V:
                 break
 
@@ -351,7 +366,8 @@ class SfMPipeline:
         )
 
     def _run_global_ba(
-        self, state, kp, pp, anchor: int, return_metrics: bool = False
+        self, state, kp, pp, anchor: int, return_metrics: bool = False,
+        intermediate: bool = False,
     ):
         obs_cam, obs_pt, obs_xy, obs_w = observation_table(state, kp.xy, pp)
         fix = np.zeros(state.n_views, bool)
@@ -367,7 +383,12 @@ class SfMPipeline:
             fix_cam=jnp.asarray(fix),
             fix_focal=not self.config.ba.optimize_focal,
         )
-        res = run_ba(prob, self.config.ba)
+        ba_cfg = self.config.ba
+        if intermediate:
+            ba_cfg = dataclasses.replace(
+                ba_cfg, max_iterations=ba_cfg.intermediate_iterations
+            )
+        res = run_ba(prob, ba_cfg)
         state = dataclasses.replace(
             state,
             cameras=res.cameras,
