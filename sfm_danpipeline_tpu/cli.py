@@ -203,12 +203,27 @@ def main(argv=None) -> int:
     if "segment" in stages:
         from sfm_danpipeline_tpu.analysis.segmentation import segment_cloud
 
+        # The reference hard-codes a z in [0,14] pass-through for its
+        # agisoft tree clouds (src/Segmentation.cpp:24-28). SfM output lives
+        # in an arbitrary gauge, so when the window would discard nearly the
+        # whole cloud it is clearly the wrong frame — disable it rather than
+        # reproduce the reference's exit-on-empty failure mode.
+        z_min, z_max = cfg.analysis.seg_z_min, cfg.analysis.seg_z_max
+        z = points[:, 2]
+        kept = float(np.mean((z >= z_min) & (z <= z_max)))
+        if kept < 0.05:
+            log.warning(
+                "segment: z-window [%g, %g] keeps %.2f%% of the cloud — "
+                "cloud is in a different gauge; disabling the pass-through",
+                z_min, z_max, 100.0 * kept,
+            )
+            z_min, z_max = -np.inf, np.inf
         seg = segment_cloud(
             jnp.asarray(points),
             jnp.asarray(colors if colors is not None else np.zeros_like(points)),
             jnp.ones(len(points), bool),
-            z_min=cfg.analysis.seg_z_min,
-            z_max=cfg.analysis.seg_z_max,
+            z_min=z_min,
+            z_max=z_max,
             distance=cfg.analysis.seg_distance,
             point_color=cfg.analysis.seg_point_color,
             region_color=cfg.analysis.seg_region_color,

@@ -19,9 +19,14 @@ from typing import Tuple
 class FeatureConfig:
     """Feature detection (reference: src/Sfm.cpp:303-392, OpenCV SIFT defaults)."""
 
-    # Detector selection ("sift" | "orb") — the reference selects SIFT /
-    # AKAZE / ORB by an int (include/Sfm.h:40-61); SIFT is its default.
+    # Detector selection ("sift" | "akaze" | "orb") — the reference selects
+    # SIFT / AKAZE / ORB by an int (include/Sfm.h:40-61); SIFT is its default.
     detector: str = "sift"
+    # AKAZE nonlinear scale space (reference src/Sfm.cpp:333-341: threshold
+    # 0.001, nOctaves=4, nOctaveLayers=4, DIFF_PM_G2, full MLDB).
+    akaze_threshold: float = 0.001
+    akaze_n_octaves: int = 4
+    akaze_n_sublevels: int = 4
     # Maximum keypoints kept per image (fixed shape for jit; OpenCV default 0 = unlimited,
     # practical counts on 640x480 are ~1-3k).
     max_keypoints: int = 2048
@@ -58,6 +63,13 @@ class MatchConfig:
     flow_radius: float = 3.0
     # Lowe ratio test threshold (reference include/Sfm.h:60: NN_MATCH_RATIO=0.8).
     ratio: float = 0.8
+    # Looser ratio used only for incremental registration + triangulation:
+    # weak "bridge" pairs across a viewpoint break yield too few 0.8-matches
+    # for PnP (the reference simply loses those views); the extra outliers
+    # are absorbed by the epipolar prefilter + PnP RANSAC. One matching pass
+    # stores each match's actual ratio (PairMatches.lowe), so baseline
+    # scoring still sees exactly the reference's 0.8 set.
+    registration_ratio: float = 0.9
     # Minimum ratio-test matches for a usable pair (reference src/Sfm.cpp:533).
     min_pair_matches: int = 120
     # Maximum matches kept per pair (fixed shape for jit).
@@ -89,6 +101,10 @@ class GeometryConfig:
     pnp_threshold_factor: float = 0.006
     # Reject PnP poses translated implausibly far (reference src/Sfm.cpp:1175: ||T||<=200).
     pnp_max_translation: float = 200.0
+    # Minimum PnP inlier support to accept a registration. The reference
+    # accepts whatever solvePnPRansac returns; a near-minimal consensus
+    # (<~12 points) is almost always a mirage that corrupts the map.
+    pnp_min_inliers: int = 12
     # Point-merge radius during incremental growth (reference src/Sfm.cpp:1216: 0.01).
     merge_distance: float = 0.01
     # RANSAC determinism: base PRNG seed (reference relies on OpenCV's RNG; we fix keys

@@ -43,33 +43,60 @@ def write_ply(
                 f.write(f"{x} {y} {z}\n")
 
 
+_PLY_DTYPES = {
+    "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+    "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+    "short": "<i2", "int16": "<i2", "ushort": "<u2", "uint16": "<u2",
+    "int": "<i4", "int32": "<i4", "uint": "<u4", "uint32": "<u4",
+}
+
+
 def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Read an ASCII PLY with x y z [r g b] vertex properties."""
-    with open(path, "r") as f:
+    """Read a PLY (ascii or binary_little_endian) with x y z [r g b]
+    vertex properties — covers both our ASCII writer and the native
+    runtime's binary writer (native/cloudio.cpp)."""
+    with open(path, "rb") as f:
         line = f.readline().strip()
-        if line != "ply":
+        if line != b"ply":
             raise ValueError(f"{path} is not a PLY file")
         n = 0
-        props = []
+        fmt = "ascii"
+        props: list = []  # (name, type) of the vertex element
         in_vertex = False
         while True:
-            line = f.readline().strip()
-            if line.startswith("element vertex"):
+            line = f.readline().strip().decode("ascii", "replace")
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element vertex"):
                 n = int(line.split()[-1])
                 in_vertex = True
             elif line.startswith("element"):
                 in_vertex = False
             elif line.startswith("property") and in_vertex:
-                props.append(line.split()[-1])
+                _, ptype, pname = line.split()
+                props.append((pname, ptype))
             elif line == "end_header":
                 break
-        data = np.loadtxt(f, max_rows=n, ndmin=2)
-    xyz_idx = [props.index(c) for c in ("x", "y", "z")]
-    points = data[:, xyz_idx].astype(np.float32)
+        names = [p[0] for p in props]
+        if fmt == "ascii":
+            data = np.loadtxt(f, max_rows=n, ndmin=2)
+            cols = {nm: data[:, i] for i, (nm, _) in enumerate(props)}
+        elif fmt == "binary_little_endian":
+            dtype = np.dtype(
+                [(nm, _PLY_DTYPES[tp]) for nm, tp in props]
+            )
+            rec = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype)
+            cols = {nm: rec[nm] for nm in names}
+        else:
+            raise ValueError(f"{path}: unsupported PLY format {fmt}")
+    points = np.stack(
+        [cols[c] for c in ("x", "y", "z")], axis=-1
+    ).astype(np.float32)
     colors = None
-    if all(c in props for c in ("red", "green", "blue")):
-        rgb_idx = [props.index(c) for c in ("red", "green", "blue")]
-        colors = data[:, rgb_idx].astype(np.uint8)
+    if all(c in names for c in ("red", "green", "blue")):
+        colors = np.stack(
+            [cols[c] for c in ("red", "green", "blue")], axis=-1
+        ).astype(np.uint8)
     return points, colors
 
 

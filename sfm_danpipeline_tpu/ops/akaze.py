@@ -1,0 +1,438 @@
+"""TPU-native AKAZE: nonlinear-diffusion scale space + MLDB binary descriptors.
+
+Re-implements the capability of the reference's AKAZE branch
+(`StructFromMotion::getFeature` detector==2, src/Sfm.cpp:331-357: OpenCV
+`cv::AKAZE::create(DESCRIPTOR_MLDB, size=0, channels=3, threshold=0.001,
+nOctaves=4, nOctaveLayers=4, DIFF_PM_G2)`), as a from-scratch fixed-shape
+JAX program (Alcantarilla et al., "Fast Explicit Diffusion for Accelerated
+Features in Nonlinear Scale Spaces", BMVC 2013):
+
+ - Nonlinear scale space by FED (fast explicit diffusion): per evolution
+   level, the Perona-Malik PM_G2 conductivity g = 1/(1 + |grad L|^2 / k^2)
+   is computed once, then a precomputed cascade of explicit diffusion steps
+   (tau_j from the FED cosine schedule, stability limit tau_max = 0.25)
+   advances the image — pure 4-neighbour stencil arithmetic, fully fusible
+   VPU code with no conv channel padding.
+ - Contrast factor k: 70th percentile of the smoothed image's gradient
+   magnitude (OpenCV kcontrast with percentile 0.7), recomputed per image.
+ - Detection: scale-normalized Hessian determinant per level with
+   sigma-dilated central differences (static dilation per level), 3D
+   extrema over the (sublevel, y, x) volume of each octave via
+   `lax.reduce_window`, block-max top-k candidate selection, and a masked
+   2D Newton refinement — the same fixed-K machinery as ops/sift.py.
+ - Orientation: SURF-style dominant direction — gradients on a fixed
+   Gaussian-weighted disc (radius 6*sigma), binned by angle, pi/3 sliding
+   arc maximizing the summed gradient vector's magnitude.
+ - Descriptor: full MLDB, 486 bits = 3 channels (L, rotated Lx, Ly) x
+   (2x2, 3x3, 4x4) grid means compared pairwise (6+36+120 comparisons).
+   Sampled on one rotated 24x24 grid (lcm of the grid divisions) so every
+   cell mean is an exact reshape-mean. Bits are emitted as 0/1 float32
+   padded to 512 so squared-L2 equals Hamming distance and pair matching
+   reuses the MXU kNN kernel (ops/matching.py) unchanged — use ratio ~0.9
+   like ORB (binary descriptor statistics differ from SIFT's 0.8).
+
+Output is the shared fixed-shape `Keypoints` container from ops/sift.py.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_danpipeline_tpu.config import FeatureConfig
+from sfm_danpipeline_tpu.ops.interp import bilinear_sample_level
+from sfm_danpipeline_tpu.ops.sift import Keypoints, gaussian_blur, _downsample2
+
+_TAU_MAX = 0.25  # explicit-diffusion stability limit for the 2D stencil
+_DESC_GRID = 24  # lcm(2,3,4)*2 samples per axis -> exact cell means
+_MLDB_BITS = 486
+_MLDB_PAD = 512
+
+
+# ---------------------------------------------------------------------------
+# FED schedule (host-side, static per evolution level)
+# ---------------------------------------------------------------------------
+
+
+def _fed_tau_cascade(T: float) -> List[float]:
+    """Explicit-diffusion step sizes whose sum is exactly T (FED, Grewenig
+    et al. 2010): n steps support total time tau_max*(n^2+n)/3; the cosine
+    schedule tau_j = tau_max / (2 cos^2(pi(2j+1)/(4n+2))) is then scaled to
+    hit T exactly."""
+    if T <= 0:
+        return []
+    n = int(math.ceil(0.5 * (math.sqrt(1.0 + 12.0 * T / _TAU_MAX) - 1.0)))
+    n = max(n, 1)
+    taus = [
+        _TAU_MAX / (2.0 * math.cos(math.pi * (2 * j + 1) / (4 * n + 2)) ** 2)
+        for j in range(n)
+    ]
+    scale = T / sum(taus)
+    return [t * scale for t in taus]
+
+
+def _diffusion_step(L: jnp.ndarray, g: jnp.ndarray, tau: float) -> jnp.ndarray:
+    """One explicit step L += tau * div(g grad L) with the 4-neighbour
+    half-point conductivity stencil (OpenCV nld_step_scalar semantics)."""
+    # Neumann boundary: replicate edges.
+    Lp = jnp.pad(L, 1, mode="edge")
+    gp = jnp.pad(g, 1, mode="edge")
+    c = Lp[1:-1, 1:-1]
+    gc = gp[1:-1, 1:-1]
+    flow = (
+        (gp[1:-1, 2:] + gc) * (Lp[1:-1, 2:] - c)
+        + (gp[1:-1, :-2] + gc) * (Lp[1:-1, :-2] - c)
+        + (gp[2:, 1:-1] + gc) * (Lp[2:, 1:-1] - c)
+        + (gp[:-2, 1:-1] + gc) * (Lp[:-2, 1:-1] - c)
+    )
+    return L + (0.5 * tau) * flow
+
+
+def _grad_mag2(L: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    gx = jnp.zeros_like(L).at[:, 1:-1].set(0.5 * (L[:, 2:] - L[:, :-2]))
+    gy = jnp.zeros_like(L).at[1:-1, :].set(0.5 * (L[2:, :] - L[:-2, :]))
+    return gx, gy, gx * gx + gy * gy
+
+
+def _contrast_factor(gray: jnp.ndarray) -> jnp.ndarray:
+    """k = 70th percentile of nonzero gradient magnitudes of the sigma=1
+    pre-smoothed image (OpenCV compute_k_percentile, percentile 0.7)."""
+    sm = gaussian_blur(gray, 1.0)
+    _, _, m2 = _grad_mag2(sm)
+    mag = jnp.sqrt(m2[1:-1, 1:-1]).reshape(-1)
+    # Percentile over positive magnitudes: zero entries are pushed to the
+    # front by sorting and skipped via a count-based index.
+    n_pos = jnp.sum(mag > 1e-12)
+    srt = jnp.sort(mag)
+    total = mag.shape[0]
+    idx = total - n_pos + (0.7 * n_pos).astype(jnp.int32)
+    k = srt[jnp.clip(idx, 0, total - 1)]
+    return jnp.maximum(k, 1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Detection per octave
+# ---------------------------------------------------------------------------
+
+
+def _dilated_hessian(L: jnp.ndarray, step: int) -> jnp.ndarray:
+    """det(Hessian) with sigma-dilated central differences (the static
+    per-level analogue of OpenCV's Scharr-with-hole derivatives)."""
+    s = max(1, step)
+    Lp = jnp.pad(L, 2 * s, mode="edge")
+    H, W = L.shape
+
+    def sh(dy, dx):
+        return jax.lax.dynamic_slice(
+            Lp, (2 * s + dy, 2 * s + dx), (H, W)
+        )
+
+    inv = 1.0 / float(s * s)
+    Lxx = (sh(0, 2 * s) - 2.0 * L + sh(0, -2 * s)) * (0.25 * inv)
+    Lyy = (sh(2 * s, 0) - 2.0 * L + sh(-2 * s, 0)) * (0.25 * inv)
+    Lxy = (
+        sh(s, s) - sh(s, -s) - sh(-s, s) + sh(-s, -s)
+    ) * (0.25 * inv)
+    return Lxx * Lyy - Lxy * Lxy
+
+
+def _refine2d(
+    resp: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Masked 2D Newton step on the response map of each candidate's level.
+    Returns (dx, dy, converged)."""
+    def grab(dy, dx):
+        return resp[s, jnp.clip(y + dy, 0, resp.shape[1] - 1),
+                    jnp.clip(x + dx, 0, resp.shape[2] - 1)]
+
+    c = grab(0, 0)
+    gx = 0.5 * (grab(0, 1) - grab(0, -1))
+    gy = 0.5 * (grab(1, 0) - grab(-1, 0))
+    dxx = grab(0, 1) - 2 * c + grab(0, -1)
+    dyy = grab(1, 0) - 2 * c + grab(-1, 0)
+    dxy = 0.25 * (grab(1, 1) - grab(1, -1) - grab(-1, 1) + grab(-1, -1))
+    det = dxx * dyy - dxy * dxy
+    safe = jnp.abs(det) > 1e-18
+    det = jnp.where(safe, det, 1.0)
+    dx = -(dyy * gx - dxy * gy) / det
+    dy = -(dxx * gy - dxy * gx) / det
+    ok = safe & (jnp.abs(dx) <= 1.0) & (jnp.abs(dy) <= 1.0)
+    return jnp.where(ok, dx, 0.0), jnp.where(ok, dy, 0.0), ok
+
+
+# ---------------------------------------------------------------------------
+# Orientation + MLDB descriptor
+# ---------------------------------------------------------------------------
+
+_N_ANG_BINS = 42  # pi/3 arc = 7 bins
+
+
+def _dominant_orientation(
+    Ls: jnp.ndarray,  # (nsub, H, W) evolution levels of this octave
+    level: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    sigma_oct: jnp.ndarray,
+) -> jnp.ndarray:
+    """SURF-style dominant orientation (KAZE Compute_Main_Orientation):
+    gradient vectors on a Gaussian-weighted disc of radius 6*sigma, binned
+    by their own angle, then a pi/3 sliding arc; the arc whose summed
+    vector is longest gives the angle."""
+    n = 13
+    t = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n * 2.0 - 1.0
+    tv, tu = jnp.meshgrid(t, t, indexing="ij")
+    tu = tu.reshape(-1)
+    tv = tv.reshape(-1)
+    r2 = tu * tu + tv * tv
+    # Gaussian sigma = 2.5*sigma over radius 6*sigma -> exp(-(6t)^2/(2*2.5^2)).
+    w = jnp.where(r2 <= 1.0, jnp.exp(-2.88 * r2), 0.0)
+
+    gxs_stack = jnp.zeros_like(Ls).at[:, :, 1:-1].set(
+        0.5 * (Ls[:, :, 2:] - Ls[:, :, :-2])
+    )
+    gys_stack = jnp.zeros_like(Ls).at[:, 1:-1, :].set(
+        0.5 * (Ls[:, 2:, :] - Ls[:, :-2, :])
+    )
+
+    def per_kp(lv, xk, yk, sig):
+        rad = 6.0 * sig
+        xs = xk + tu * rad
+        ys = yk + tv * rad
+        gx = bilinear_sample_level(gxs_stack, lv, xs, ys) * w
+        gy = bilinear_sample_level(gys_stack, lv, xs, ys) * w
+        ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+        b = (
+            (ang + jnp.pi) / (2.0 * jnp.pi) * _N_ANG_BINS
+        ).astype(jnp.int32) % _N_ANG_BINS
+        sx = jnp.zeros((_N_ANG_BINS,), jnp.float32).at[b].add(gx)
+        sy = jnp.zeros((_N_ANG_BINS,), jnp.float32).at[b].add(gy)
+        # pi/3 arc = 7 contiguous bins, circular.
+        arc = _N_ANG_BINS // 6 + 1
+        sx2 = jnp.concatenate([sx, sx[: arc - 1]])
+        sy2 = jnp.concatenate([sy, sy[: arc - 1]])
+        cx = jnp.cumsum(jnp.concatenate([jnp.zeros(1), sx2]))
+        cy = jnp.cumsum(jnp.concatenate([jnp.zeros(1), sy2]))
+        wx = cx[arc:] - cx[:-arc]
+        wy = cy[arc:] - cy[:-arc]
+        best = jnp.argmax(wx * wx + wy * wy)
+        return jnp.arctan2(wy[best], wx[best])
+
+    return jax.vmap(per_kp)(level, x, y, sigma_oct)
+
+
+def _mldb_pairs(d: int) -> Tuple[np.ndarray, np.ndarray]:
+    idx = np.arange(d * d)
+    i, j = np.meshgrid(idx, idx, indexing="ij")
+    m = i < j
+    return i[m], j[m]
+
+
+def _mldb_descriptors(
+    Ls: jnp.ndarray,
+    level: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    sigma_oct: jnp.ndarray,
+    angle: jnp.ndarray,
+) -> jnp.ndarray:
+    """Full 486-bit MLDB: 3 channels x pairwise cell-mean comparisons over
+    2x2 / 3x3 / 4x4 grids of the rotated 20*sigma patch (OpenCV
+    MLDB_Full_Descriptor_Invoker with pattern size 10)."""
+    n = _DESC_GRID
+    t = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n * 2.0 - 1.0
+    tv, tu = jnp.meshgrid(t, t, indexing="ij")  # (n, n) in [-1, 1]
+
+    gxs_stack = jnp.zeros_like(Ls).at[:, :, 1:-1].set(
+        0.5 * (Ls[:, :, 2:] - Ls[:, :, :-2])
+    )
+    gys_stack = jnp.zeros_like(Ls).at[:, 1:-1, :].set(
+        0.5 * (Ls[:, 2:, :] - Ls[:, :-2, :])
+    )
+
+    pair_idx = [(_mldb_pairs(d)) for d in (2, 3, 4)]
+
+    def per_kp(lv, xk, yk, sig, ang):
+        ps = 10.0 * sig  # pattern half-size
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        ox = ps * (tu * ca - tv * sa)
+        oy = ps * (tu * sa + tv * ca)
+        xs = (xk + ox).reshape(-1)
+        ys = (yk + oy).reshape(-1)
+        L = bilinear_sample_level(Ls, lv, xs, ys)
+        gx = bilinear_sample_level(gxs_stack, lv, xs, ys)
+        gy = bilinear_sample_level(gys_stack, lv, xs, ys)
+        # Rotate gradients into the keypoint frame.
+        rx = ca * gx + sa * gy
+        ry = -sa * gx + ca * gy
+        chans = jnp.stack([L, rx, ry], axis=0).reshape(3, n, n)
+        bits = []
+        for d, (pi_, pj_) in zip((2, 3, 4), pair_idx):
+            c = n // d
+            means = chans.reshape(3, d, c, d, c).mean(axis=(2, 4))
+            means = means.reshape(3, d * d)
+            cmp = means[:, pi_] > means[:, pj_]  # (3, P)
+            bits.append(cmp.reshape(-1))
+        vec = jnp.concatenate(bits).astype(jnp.float32)
+        return jnp.pad(vec, (0, _MLDB_PAD - _MLDB_BITS))
+
+    return jax.vmap(per_kp)(level, x, y, sigma_oct, angle)
+
+
+# ---------------------------------------------------------------------------
+# Full detector
+# ---------------------------------------------------------------------------
+
+
+def _detect_octave_akaze(
+    Ls: jnp.ndarray,  # (nsub, H, W) evolution levels
+    sigmas_oct: List[float],  # octave-local sigma per level (static)
+    k_octave: int,
+    threshold: float,
+) -> Tuple[jnp.ndarray, ...]:
+    nsub, H, W = Ls.shape
+    # Scale-normalized Hessian responses (sigma^4 normalization is folded
+    # in: dilated derivative ~ d/(s*dx), response *= s^4 -> multiply back).
+    resp = jnp.stack(
+        [
+            _dilated_hessian(Ls[i], int(round(sigmas_oct[i])))
+            * (float(sigmas_oct[i]) ** 4)
+            for i in range(nsub)
+        ]
+    )
+    mx = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    is_ext = (resp >= mx) & (resp > threshold)
+    resp_m = jnp.where(is_ext, resp, 0.0)
+    border = 6
+    mask = jnp.zeros((H, W), bool).at[border:-border, border:-border].set(True)
+    resp_m = jnp.where(mask[None], resp_m, 0.0)
+
+    B = 4
+    Hp, Wp = -(-H // B) * B, -(-W // B) * B
+    resp_p = jnp.pad(resp_m, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    bmax = jax.lax.reduce_window(
+        resp_p, -jnp.inf, jax.lax.max, (1, B, B), (1, B, B), "VALID"
+    )
+    nby, nbx = Hp // B, Wp // B
+    k_red = min(k_octave, nsub * nby * nbx)
+    vals, idx = jax.lax.top_k(bmax.reshape(-1), k_red)
+    if k_red < k_octave:
+        vals = jnp.pad(vals, (0, k_octave - k_red))
+        idx = jnp.pad(idx, (0, k_octave - k_red))
+    s = idx // (nby * nbx)
+    rem = idx % (nby * nbx)
+    by, bx = rem // nbx, rem % nbx
+    oy = jnp.arange(B)
+    cell_y = by[:, None, None] * B + oy[None, :, None]
+    cell_x = bx[:, None, None] * B + oy[None, None, :]
+    cell = resp_p[
+        s[:, None, None],
+        jnp.broadcast_to(cell_y, (k_octave, B, B)),
+        jnp.broadcast_to(cell_x, (k_octave, B, B)),
+    ].reshape(k_octave, B * B)
+    local = jnp.argmax(cell, axis=-1)
+    yy = jnp.clip(by * B + local // B, 0, H - 1)
+    xx = jnp.clip(bx * B + local % B, 0, W - 1)
+    cand_ok = vals > 0.0
+
+    dx, dy, conv_ok = _refine2d(resp, s, yy, xx)
+    x_ref = xx.astype(jnp.float32) + dx
+    y_ref = yy.astype(jnp.float32) + dy
+    sig_arr = jnp.asarray(sigmas_oct, jnp.float32)[s]
+    valid = cand_ok & conv_ok
+
+    angle = _dominant_orientation(Ls, s, x_ref, y_ref, sig_arr)
+    desc = _mldb_descriptors(Ls, s, x_ref, y_ref, sig_arr, angle)
+    resp_k = resp[s, yy, xx]
+    return x_ref, y_ref, sig_arr, angle, resp_k, desc, valid
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _detect_impl_akaze(
+    gray: jnp.ndarray, config: FeatureConfig, k_total: int
+) -> Keypoints:
+    nsub = config.akaze_n_sublevels
+    sigma0 = 1.6  # OpenCV AKAZE soffset
+    base = gaussian_blur(gray, math.sqrt(max(sigma0**2 - 0.25, 0.01)))
+    k_contrast = _contrast_factor(gray)
+    k2 = k_contrast * k_contrast
+
+    per_octave: List[Tuple[jnp.ndarray, ...]] = []
+    L = base
+    scale = 1.0
+    t_prev = 0.5 * sigma0**2
+    for o in range(config.akaze_n_octaves):
+        if min(L.shape) < 32:
+            break
+        levels = []
+        sigmas_oct = []
+        for j in range(nsub):
+            sigma_abs = sigma0 * (2.0 ** (o + (j + 1) / nsub))
+            t_target = 0.5 * (sigma_abs / scale) ** 2 * 1.0
+            # Evolve L from t_prev (in octave-local units) to t_target.
+            taus = _fed_tau_cascade(t_target - t_prev)
+            if taus:
+                _, _, m2 = _grad_mag2(L)
+                # PM_G2 conductivity; k is in absolute-gradient units of the
+                # full-resolution image — gradients shrink with downsampling
+                # but so does OpenCV's (it reuses one k), so keep it shared.
+                g = 1.0 / (1.0 + m2 / k2)
+                for tau in taus:
+                    L = _diffusion_step(L, g, tau)
+            t_prev = t_target
+            levels.append(L)
+            sigmas_oct.append(sigma_abs / scale)
+        Ls = jnp.stack(levels)
+        x, y, sig, ang, resp, desc, valid = _detect_octave_akaze(
+            Ls, sigmas_oct, k_total, config.akaze_threshold
+        )
+        per_octave.append(
+            (x * scale, y * scale, sig * scale, ang, resp, desc, valid)
+        )
+        L = _downsample2(L)
+        t_prev = t_prev / 4.0  # diffusion time rescales with (pixel size)^2
+        scale *= 2.0
+
+    xs = jnp.concatenate([p[0] for p in per_octave])
+    ys = jnp.concatenate([p[1] for p in per_octave])
+    sig = jnp.concatenate([p[2] for p in per_octave])
+    ang = jnp.concatenate([p[3] for p in per_octave])
+    resp = jnp.concatenate([p[4] for p in per_octave])
+    desc = jnp.concatenate([p[5] for p in per_octave])
+    valid = jnp.concatenate([p[6] for p in per_octave])
+    score = jnp.where(valid, resp, -1.0)
+    _, top = jax.lax.top_k(score, k_total)
+    return Keypoints(
+        xy=jnp.stack([xs[top], ys[top]], axis=-1),
+        sigma=sig[top],
+        angle=ang[top],
+        response=resp[top],
+        descriptors=desc[top],
+        valid=valid[top],
+    )
+
+
+def detect_and_compute_akaze(
+    gray: jnp.ndarray, config: FeatureConfig = FeatureConfig()
+) -> Keypoints:
+    """AKAZE keypoints + 486-bit MLDB descriptors (as 0/1 float32 padded to
+    512) for one grayscale image (H, W) in [0, 1]. The jnp analogue of the
+    reference's detector==2 branch (src/Sfm.cpp:331-357)."""
+    return _detect_impl_akaze(gray, config, config.max_keypoints)
+
+
+def detect_and_compute_akaze_batch(
+    gray: jnp.ndarray, config: FeatureConfig = FeatureConfig()
+) -> Keypoints:
+    """Batched AKAZE over (N, H, W); host loop over one cached executable
+    (same rationale as ops/sift.py detect_and_compute_batch)."""
+    outs = [
+        _detect_impl_akaze(gray[i], config, config.max_keypoints)
+        for i in range(gray.shape[0])
+    ]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)

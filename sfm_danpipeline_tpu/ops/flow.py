@@ -159,5 +159,6 @@ def flow_match_pair(
         idx_a=order.astype(jnp.int32),
         idx_b=best[order].astype(jnp.int32),
         dist=bestd[order],
+        lowe=jnp.zeros_like(bestd[order]),
         valid=keep[order] & pad_mask,
     )

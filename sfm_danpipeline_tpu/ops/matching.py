@@ -37,21 +37,31 @@ class PairMatches:
 
     idx_a, idx_b: (M,) int32 — keypoint indices into each image's set
     dist:         (M,) float32 — L2 descriptor distance
+    lowe:         (M,) float32 — per-match Lowe ratio d1/d2 (0 when the
+                  producer has no second-best notion, e.g. the flow path)
     valid:        (M,) bool
     """
 
     idx_a: jnp.ndarray
     idx_b: jnp.ndarray
     dist: jnp.ndarray
+    lowe: jnp.ndarray
     valid: jnp.ndarray
 
     @property
     def count(self) -> jnp.ndarray:
         return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
 
+    def at_ratio(self, ratio: float) -> "PairMatches":
+        """Subset that also passes the stricter `ratio` test — lets one
+        matching pass at a loose ratio serve several downstream gates."""
+        return dataclasses.replace(self, valid=self.valid & (self.lowe <= ratio))
+
 
 jax.tree_util.register_dataclass(
-    PairMatches, data_fields=["idx_a", "idx_b", "dist", "valid"], meta_fields=[]
+    PairMatches,
+    data_fields=["idx_a", "idx_b", "dist", "lowe", "valid"],
+    meta_fields=[],
 )
 
 
@@ -186,7 +196,8 @@ def match_pair(
     best_idx, best_d2, second_d2 = knn(desc_a, desc_b, valid_b)
     d1 = jnp.sqrt(best_d2)
     d2 = jnp.sqrt(jnp.minimum(second_d2, _INF))
-    keep = valid_a & (best_d2 < _INF) & (second_d2 < _INF) & (d1 <= ratio * d2)
+    lowe = d1 / jnp.maximum(d2, 1e-12)
+    keep = valid_a & (best_d2 < _INF) & (second_d2 < _INF) & (lowe <= ratio)
     score = jnp.where(keep, -d1, -_INF)
     k = min(max_matches, score.shape[0])
     _, order = jax.lax.top_k(score, k)
@@ -197,6 +208,7 @@ def match_pair(
         idx_a=order.astype(jnp.int32),
         idx_b=best_idx[order],
         dist=d1[order],
+        lowe=lowe[order],
         valid=keep[order] & pad_mask,
     )
 

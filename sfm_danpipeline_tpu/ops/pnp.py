@@ -118,7 +118,9 @@ def _gauss_newton_refine(
     return exp_so3(params[:3]), params[3:]
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses", "sample_size"))
+@functools.partial(
+    jax.jit, static_argnames=("n_hypotheses", "sample_size", "min_inliers")
+)
 def solve_pnp_ransac(
     key: jax.Array,
     X: jnp.ndarray,
@@ -130,6 +132,7 @@ def solve_pnp_ransac(
     n_hypotheses: int = 1024,
     sample_size: int = 6,
     max_translation: float = 200.0,
+    min_inliers: int = 6,
 ) -> PnPResult:
     """RANSAC PnP over 2D-3D correspondences.
 
@@ -166,6 +169,6 @@ def solve_pnp_ransac(
     ok = (
         det_ok
         & (jnp.linalg.norm(center) <= max_translation)
-        & (n_in >= sample_size)
+        & (n_in >= max(sample_size, min_inliers))
     )
     return PnPResult(R=R, t=t, inliers=inliers, n_inliers=n_in, ok=ok)

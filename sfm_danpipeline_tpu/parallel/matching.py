@@ -52,7 +52,8 @@ def match_all_pairs_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis)),
         out_specs=PairMatches(
-            idx_a=P(axis), idx_b=P(axis), dist=P(axis), valid=P(axis)
+            idx_a=P(axis), idx_b=P(axis), dist=P(axis), lowe=P(axis),
+            valid=P(axis),
         ),
     )
     def matcher(desc, val, pi, pj):

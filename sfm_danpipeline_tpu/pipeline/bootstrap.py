@@ -39,8 +39,7 @@ class PairScores(NamedTuple):
     usable: jnp.ndarray  # (NP,) >= min_pair_matches and pose ok
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _score_one_pair(
+def _score_one_pair_core(
     key: jax.Array,
     m: PairMatches,
     pa: jnp.ndarray,
@@ -66,6 +65,10 @@ def _score_one_pair(
     return ratio, n, usable
 
 
+_score_one_pair = jax.jit(_score_one_pair_core, static_argnames=("config",))
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def score_pairs(
     key: jax.Array,
     matches: PairMatches,  # batched over pairs (leading dim NP)
@@ -76,41 +79,33 @@ def score_pairs(
     dist: jnp.ndarray,
     config: PipelineConfig,
 ) -> PairScores:
-    """Score all pairs by pose-inlier ratio.
+    """Score all pairs by pose-inlier ratio — ONE device dispatch.
 
-    Host loop over pairs reusing ONE compiled single-pair program: vmapping
-    the full RANSAC+refinement graph over the pair axis multiplies XLA
-    compile cost (observed: tens of minutes stuck in the TPU remote
-    compiler), while per-pair dispatch of the cached executable costs
-    milliseconds. Pairs under the reference's >=120-match gate
-    (src/Sfm.cpp:533) are skipped without spending a RANSAC.
+    `lax.scan` over the pair axis: the RANSAC body compiles once (vmapping
+    the full RANSAC+refinement graph over pairs multiplied XLA compile cost
+    into tens of minutes on the TPU remote compiler), and unlike a host
+    loop there are no per-pair dispatch+transfer round-trips — those
+    dominated the baseline stage (~1 s/pair through the axon tunnel).
+    Sub-gate pairs (<120 matches, src/Sfm.cpp:533) ride along masked rather
+    than branching: 45 thin RANSACs are cheaper than 45 round-trips.
     """
     NP = int(pair_i.shape[0])
     keys = jax.random.split(key, NP)
-    counts = jax.device_get(matches.count)
-    ratios, ns, usables = [], [], []
-    for p in range(NP):
-        if counts[p] < config.matching.min_pair_matches:
-            ratios.append(-1.0)
-            ns.append(int(counts[p]))
-            usables.append(False)
-            continue
-        m = jax.tree_util.tree_map(lambda a: a[p], matches)
-        pa = keypoints_xy[pair_i[p], m.idx_a]
-        pb = keypoints_xy[pair_j[p], m.idx_b]
-        ratio, n, usable = _score_one_pair(
-            keys[p], m, pa, pb, K, dist, config
-        )
-        ratios.append(float(ratio))
-        ns.append(int(n))
-        usables.append(bool(usable))
-    usable_arr = jnp.asarray(usables)
+
+    def body(_, inp):
+        k, m, i, j = inp
+        pa = keypoints_xy[i, m.idx_a]
+        pb = keypoints_xy[j, m.idx_b]
+        ratio, n, usable = _score_one_pair_core(k, m, pa, pb, K, dist, config)
+        return None, (ratio, n.astype(jnp.int32), usable)
+
+    _, (ratios, ns, usables) = jax.lax.scan(
+        body, None, (keys, matches, pair_i, pair_j)
+    )
     return PairScores(
-        pose_inlier_ratio=jnp.where(
-            usable_arr, jnp.asarray(ratios, jnp.float32), -1.0
-        ),
-        n_matches=jnp.asarray(ns, jnp.int32),
-        usable=usable_arr,
+        pose_inlier_ratio=jnp.where(usables, ratios, -1.0),
+        n_matches=ns,
+        usable=usables,
     )
 
 

@@ -26,8 +26,7 @@ from sfm_danpipeline_tpu.pipeline.tracks import (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def epipolar_filter_matches(
+def _epipolar_filter_core(
     key: jax.Array,
     pn: jnp.ndarray,  # (M, 2) new-view pixel positions of matches
     pd: jnp.ndarray,  # (M, 2) done-view pixel positions
@@ -56,15 +55,45 @@ def epipolar_filter_matches(
     return jnp.where(use, valid & pose.inliers, valid)
 
 
+epipolar_filter_matches = jax.jit(
+    _epipolar_filter_core, static_argnames=("config",)
+)
+
+
+def build_match_tables(
+    matches: PairMatches,
+    pair_i: jnp.ndarray,  # (P,) int32
+    pair_j: jnp.ndarray,  # (P,)
+    n_views: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Scatter the pair-list matches into dense oriented (V, V, M) tables so
+    every later gather happens on-device: feat_tab_a[a, b] holds the
+    matched feature ids *in view a* for pair (a, b), for both orientations.
+    Replaces per-pair host transfers in the incremental loop (each
+    `np.asarray(matches.idx_a[p])` was a device->host round-trip through
+    the axon tunnel)."""
+    V, M = n_views, matches.idx_a.shape[1]
+    feat_a = jnp.zeros((V, V, M), jnp.int32)
+    feat_a = feat_a.at[pair_i, pair_j].set(matches.idx_a)
+    feat_a = feat_a.at[pair_j, pair_i].set(matches.idx_b)
+    feat_b = jnp.zeros((V, V, M), jnp.int32)
+    feat_b = feat_b.at[pair_i, pair_j].set(matches.idx_b)
+    feat_b = feat_b.at[pair_j, pair_i].set(matches.idx_a)
+    valid = jnp.zeros((V, V, M), bool)
+    valid = valid.at[pair_i, pair_j].set(matches.valid)
+    valid = valid.at[pair_j, pair_i].set(matches.valid)
+    return feat_a, feat_b, valid
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def register_view(
     key: jax.Array,
     state: ReconstructionState,
     new_view: jnp.ndarray,
     done_views: jnp.ndarray,  # (D,) int32 view ids (padded with -1)
-    match_feat_new: jnp.ndarray,  # (D, M) feature ids in new view
-    match_feat_done: jnp.ndarray,  # (D, M) feature ids in done views
-    match_valid: jnp.ndarray,  # (D, M)
+    feat_tab_a: jnp.ndarray,  # (V, V, M) oriented match tables
+    feat_tab_b: jnp.ndarray,
+    valid_tab: jnp.ndarray,
     keypoints_xy: jnp.ndarray,  # (V, K, 2)
     K: jnp.ndarray,
     dist: jnp.ndarray,
@@ -74,14 +103,37 @@ def register_view(
     """PnP-register `new_view` from 2D-3D correspondences through the track
     table (src/Sfm.cpp:946-961). Returns (state, ok, n_inliers).
 
-    `match_valid` is expected to be pre-pruned per done view with
-    `epipolar_filter_matches` (the non-planar analogue of the reference's
-    homography pruning, src/Sfm.cpp:610-662): at wide baselines the raw
-    ratio-test match sets run >50% outliers and unfiltered PnP starves.
-    The filter runs in the driver's host loop so its RANSAC program is
-    compiled once per shape, not vmapped into this graph.
+    Each done view's matches are first pruned to their two-view epipolar
+    consensus (the non-planar analogue of the reference's homography
+    pruning, src/Sfm.cpp:610-662): at wide baselines the raw ratio-test
+    match sets run >50% outliers and unfiltered PnP starves. The pruning
+    RANSAC runs as a `lax.scan` over the done axis inside this one jit —
+    one compile of the body, no per-view dispatch round-trips.
     """
+    dv_c = jnp.clip(done_views, 0)
+    match_feat_new = feat_tab_a[new_view, dv_c]  # (D, M)
+    match_feat_done = feat_tab_b[new_view, dv_c]
+    match_valid = valid_tab[new_view, dv_c] & (done_views >= 0)[:, None]
     D, M = match_feat_new.shape
+
+    key, k_filter = jax.random.split(key)
+    fkeys = jax.random.split(k_filter, D)
+
+    def filter_one(d_idx_and_key):
+        k, d_idx = d_idx_and_key
+        fn = match_feat_new[d_idx]
+        fd = match_feat_done[d_idx]
+        pn = keypoints_xy[new_view, fn]
+        pd_px = keypoints_xy[dv_c[d_idx], fd]
+        return _epipolar_filter_core(
+            k, pn, pd_px, match_valid[d_idx], K, dist, config
+        )
+
+    _, match_valid = jax.lax.scan(
+        lambda c, x: (c, filter_one(x)),
+        None,
+        (fkeys, jnp.arange(D)),
+    )
 
     def collect(d_idx):
         dv = done_views[d_idx]
@@ -129,6 +181,7 @@ def register_view(
         threshold_px=thr,
         n_hypotheses=config.geometry.pnp_ransac_iters,
         max_translation=config.geometry.pnp_max_translation,
+        min_inliers=config.geometry.pnp_min_inliers,
     )
     cam = jnp.concatenate([log_so3(res.R), res.t])
     cameras = jnp.where(
@@ -150,9 +203,9 @@ def triangulate_new_view_all(
     state: ReconstructionState,
     new_view: jnp.ndarray,
     done_views: jnp.ndarray,  # (D,) view ids, -1 = padding
-    feat_new: jnp.ndarray,  # (D, M)
-    feat_done: jnp.ndarray,  # (D, M)
-    valid: jnp.ndarray,  # (D, M)
+    feat_tab_a: jnp.ndarray,  # (V, V, M) oriented match tables
+    feat_tab_b: jnp.ndarray,
+    valid_tab: jnp.ndarray,
     keypoints_xy: jnp.ndarray,
     colors: jnp.ndarray,
     K: jnp.ndarray,
@@ -164,13 +217,14 @@ def triangulate_new_view_all(
     src/Sfm.cpp:964-993, without one device dispatch per view)."""
 
     def body(st, d):
+        dv = jnp.clip(done_views[d], 0)
         st, n = triangulate_new_view(
             st,
             new_view,
-            jnp.clip(done_views[d], 0),
-            feat_new[d],
-            feat_done[d],
-            valid[d] & (done_views[d] >= 0),
+            dv,
+            feat_tab_a[new_view, dv],
+            feat_tab_b[new_view, dv],
+            valid_tab[new_view, dv] & (done_views[d] >= 0),
             keypoints_xy,
             colors,
             K,

@@ -1,0 +1,171 @@
+"""Multi-component reconstruction merging via Sim(3) alignment.
+
+New capability beyond the reference: its incremental loop silently drops
+every view that cannot PnP against the single growing cloud
+(src/Sfm.cpp:955-958), so an image set with a viewpoint break loses all
+views past the break. Here each connected component is reconstructed
+independently (pipeline/sfm.py grows component B with the same engine) and
+components are merged:
+
+ 1. 3D-3D correspondences: a cross-component 2D match (feat in view a of A,
+    feat in view b of B) whose both endpoints already belong to track
+    points yields a pair (X_A, X_B).
+ 2. Sim(3) RANSAC (ops/similarity.py) aligns B onto A.
+ 3. Merge: B's points/cameras transform into A's frame; inlier pairs fuse
+    (their tracks concatenate — the component analogue of add_points' track
+    fusion); remaining B points append to free slots.
+
+Camera transform: for X_A = s R X_B + t, a B-camera (R_c, t_c) becomes
+(R_c Rᵀ, s t_c − R_c Rᵀ t): camera coords scale uniformly by s, which is
+projection-invariant and cheirality-preserving.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_danpipeline_tpu.ops.lie import exp_so3, log_so3
+from sfm_danpipeline_tpu.ops.similarity import Sim3, apply_sim3
+from sfm_danpipeline_tpu.pipeline.tracks import ReconstructionState
+
+
+@jax.jit
+def cross_component_pairs(
+    state_a: ReconstructionState,
+    state_b: ReconstructionState,
+    feat_tab_a: jnp.ndarray,  # (V, V, M) oriented match tables
+    feat_tab_b: jnp.ndarray,
+    valid_tab: jnp.ndarray,
+    max_pairs: int = 4096,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Collect 3D-3D correspondence candidates between two components.
+
+    For every ordered view pair (a registered in A, b registered in B) and
+    every match (fa, fb): a candidate exists when A has a point on (a, fa)
+    and B has a point on (b, fb). Returns (X_a (N,3), X_b (N,3),
+    pid_a (N,), pid_b (N,), mask (N,)) compacted to `max_pairs` rows.
+    """
+    V, _, M = feat_tab_a.shape
+    av = jnp.arange(V, dtype=jnp.int32)
+    a_grid = jnp.broadcast_to(av[:, None, None], (V, V, M))
+    b_grid = jnp.broadcast_to(av[None, :, None], (V, V, M))
+    pa = state_a.feat_to_point[a_grid, jnp.clip(feat_tab_a, 0)]
+    pb = state_b.feat_to_point[b_grid, jnp.clip(feat_tab_b, 0)]
+    mask = (
+        valid_tab
+        & state_a.camera_valid[a_grid]
+        & state_b.camera_valid[b_grid]
+        & (feat_tab_a >= 0)
+        & (feat_tab_b >= 0)
+        & (pa >= 0)
+        & (pb >= 0)
+    )
+    pa = jnp.clip(pa, 0)
+    pb = jnp.clip(pb, 0)
+    mask = (
+        mask
+        & state_a.points_valid[pa]
+        & state_b.points_valid[pb]
+    )
+    flat_mask = mask.reshape(-1)
+    flat_pa = pa.reshape(-1)
+    flat_pb = pb.reshape(-1)
+    order = jnp.argsort(~flat_mask, stable=True)[:max_pairs]
+    pid_a = flat_pa[order]
+    pid_b = flat_pb[order]
+    m = flat_mask[order]
+    return (
+        state_a.points_xyz[pid_a],
+        state_b.points_xyz[pid_b],
+        pid_a,
+        pid_b,
+        m,
+    )
+
+
+@jax.jit
+def merge_components(
+    state_a: ReconstructionState,
+    state_b: ReconstructionState,
+    sim: Sim3,
+    pid_a: jnp.ndarray,  # (N,) fuse pairs (A point, B point)
+    pid_b: jnp.ndarray,
+    fuse_mask: jnp.ndarray,  # (N,) which pairs to fuse (Sim3 inliers)
+) -> ReconstructionState:
+    """Merge component B (disjoint registered views) into A's frame.
+
+    Components by construction register disjoint view sets, so B's columns
+    of A's track/inverse tables are empty: track rows merge with
+    `maximum` (missing = -1) and B's feat_to_point rows transplant wholesale
+    through the point-id remap.
+    """
+    P = state_a.capacity
+    V = state_a.n_views
+
+    # --- Transform B geometry into A's frame.
+    xyz_b = apply_sim3(sim, state_b.points_xyz)
+    R_c = exp_so3(state_b.cameras[:, :3])  # (V, 3, 3)
+    t_c = state_b.cameras[:, 3:]
+    R_new = jnp.einsum("vij,kj->vik", R_c, sim.R)  # R_c @ R^T
+    t_new = sim.s * t_c - jnp.einsum("vij,j->vi", R_new, sim.t)
+    cam_b = jnp.concatenate(
+        [jax.vmap(log_so3)(R_new), t_new], axis=-1
+    )
+
+    # --- Point-id remap: fused B points -> their A partner; the rest of
+    # B's valid points -> fresh slots after A's n_points.
+    fuse_to = jnp.full((P,), -1, jnp.int32)
+    fuse_to = fuse_to.at[jnp.where(fuse_mask, pid_b, P - 1)].max(
+        jnp.where(fuse_mask, pid_a, -1)
+    )
+    is_fused = fuse_to >= 0
+    appendable = state_b.points_valid & ~is_fused
+    pos = jnp.cumsum(appendable.astype(jnp.int32)) - 1
+    slot = state_a.n_points + pos
+    in_cap = appendable & (slot < P)
+    map_b = jnp.where(
+        is_fused, fuse_to, jnp.where(in_cap, slot, -1)
+    )  # (P,) B point id -> A point id
+
+    # --- Append new points (dump-row convention, cf. tracks.add_points).
+    slot_d = jnp.where(in_cap, slot, P)
+    points_xyz = jnp.pad(state_a.points_xyz, ((0, 1), (0, 0)))
+    points_rgb = jnp.pad(state_a.points_rgb, ((0, 1), (0, 0)))
+    points_valid = jnp.pad(state_a.points_valid, (0, 1))
+    track_feat = jnp.pad(
+        state_a.track_feat, ((0, 1), (0, 0)), constant_values=-1
+    )
+    points_xyz = points_xyz.at[slot_d].set(xyz_b)
+    points_rgb = points_rgb.at[slot_d].set(state_b.points_rgb)
+    points_valid = points_valid.at[slot_d].set(True)
+    track_feat = track_feat.at[slot_d].set(state_b.track_feat)
+
+    # --- Fuse tracks of inlier pairs (B's view columns are empty in A).
+    fused_rows = jnp.where(is_fused[:, None], state_b.track_feat, -1)
+    tgt = jnp.where(is_fused, fuse_to, P)
+    track_feat = track_feat.at[tgt].max(fused_rows)
+
+    # --- Inverse map: B's registered views adopt B's table through map_b.
+    f2p_b = map_b[jnp.clip(state_b.feat_to_point, 0)]
+    f2p_b = jnp.where(state_b.feat_to_point >= 0, f2p_b, -1)
+    feat_to_point = jnp.where(
+        state_b.camera_valid[:, None], f2p_b, state_a.feat_to_point
+    )
+
+    cameras = jnp.where(
+        state_b.camera_valid[:, None], cam_b, state_a.cameras
+    )
+    return dataclasses.replace(
+        state_a,
+        points_xyz=points_xyz[:P],
+        points_rgb=points_rgb[:P],
+        points_valid=points_valid[:P],
+        track_feat=track_feat[:P],
+        feat_to_point=feat_to_point,
+        cameras=cameras,
+        camera_valid=state_a.camera_valid | state_b.camera_valid,
+        n_points=state_a.n_points + jnp.sum(in_cap.astype(jnp.int32)),
+    )

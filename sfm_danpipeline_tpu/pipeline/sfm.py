@@ -31,7 +31,7 @@ from sfm_danpipeline_tpu.pipeline.bootstrap import (
     score_pairs,
 )
 from sfm_danpipeline_tpu.pipeline.incremental import (
-    epipolar_filter_matches,
+    build_match_tables,
     register_view,
     triangulate_new_view_all,
 )
@@ -121,6 +121,14 @@ class SfMPipeline:
                 for i in range(V)
             ]
             kp = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+        elif cfg.features.detector == "akaze":
+            from sfm_danpipeline_tpu.ops.akaze import (
+                detect_and_compute_akaze_batch,
+            )
+
+            kp = detect_and_compute_akaze_batch(
+                jnp.asarray(images.gray), cfg.features
+            )
         else:
             kp = detect_and_compute_batch(
                 jnp.asarray(images.gray), cfg.features
@@ -160,12 +168,16 @@ class SfMPipeline:
                 lambda *xs: jnp.stack(xs), *per_pair
             )
         else:
+            # One pass at the looser registration ratio; each match carries
+            # its actual Lowe ratio so the strict reference set (0.8) is a
+            # mask away (PairMatches.at_ratio).
+            loose = max(cfg.matching.ratio, cfg.matching.registration_ratio)
             matches = match_all_pairs(
                 kp.descriptors,
                 kp.valid,
                 jnp.asarray(pi),
                 jnp.asarray(pj),
-                ratio=cfg.matching.ratio,
+                ratio=loose,
                 max_matches=cfg.matching.max_matches,
             )
         jax.block_until_ready(matches.idx_a)
@@ -173,12 +185,14 @@ class SfMPipeline:
         metrics["n_pairs"] = len(pi)
         log.info("matching: %.2fs over %d pairs", metrics["t_matching"], len(pi))
 
-        # 3. Pair scoring + baseline (src/Sfm.cpp:408-489).
+        # 3. Pair scoring + baseline (src/Sfm.cpp:408-489) — on the strict
+        # reference ratio set (include/Sfm.h:60: 0.8).
+        strict = matches.at_ratio(cfg.matching.ratio)
         t0 = time.time()
         key = jax.random.key(cfg.geometry.seed)
         k_score, k_boot, k_reg = jax.random.split(key, 3)
         scores = score_pairs(
-            k_score, matches, kp.xy, jnp.asarray(pi), jnp.asarray(pj), K, dist, cfg
+            k_score, strict, kp.xy, jnp.asarray(pi), jnp.asarray(pj), K, dist, cfg
         )
         bp = int(best_pair(scores))
         vi, vj = int(pi[bp]), int(pj[bp])
@@ -195,7 +209,7 @@ class SfMPipeline:
         state = init_state(
             V, cfg.features.max_keypoints, cfg.max_points, intrinsics.fx
         )
-        one_match = jax.tree_util.tree_map(lambda a: a[bp], matches)
+        one_match = jax.tree_util.tree_map(lambda a: a[bp], strict)
         state, ok = bootstrap_pair(
             k_boot, state, one_match, kp.xy, colors, vi, vj, K, dist, cfg
         )
@@ -209,68 +223,117 @@ class SfMPipeline:
 
         state = self._run_global_ba(state, kp, pp, anchor=vi, intermediate=True)
 
-        # 4. Incremental loop (src/Sfm.cpp:893-1009).
+        # 4. Incremental loop (src/Sfm.cpp:893-1009). Matches live in dense
+        # oriented (V, V, M) device tables; the host loop only ships view ids.
         t0 = time.time()
-        pair_idx = {(int(a), int(b)): n for n, (a, b) in enumerate(zip(pi, pj))}
+        pi_j, pj_j = jnp.asarray(pi), jnp.asarray(pj)
+        ft_a, ft_b, vt_loose = build_match_tables(matches, pi_j, pj_j, V)
+        _, _, vt_strict = build_match_tables(strict, pi_j, pj_j, V)
+        tables = (ft_a, ft_b, vt_strict, vt_loose)
+        keys = jax.random.split(k_reg, V * 16)
+        self._key_n = 0
         done = {vi, vj}
-        failed: set = set()
-        keys = jax.random.split(k_reg, V * 8)
-        key_n = 0
-        # Outer rounds: a view that fails PnP is retried after other views
-        # registered (it may gain 2D-3D support from newly triangulated
-        # points) — the reference's skip-and-continue (src/Sfm.cpp:955-958)
-        # plus recovery.
-        progress = True
-        while progress:
-            progress = False
-            failed.clear()
-            while True:
-                frontier = self._frontier(done, failed, V)
-                if not frontier:
-                    break
-                new_view = frontier[0]
-                state, ok, n_inl = self._register(
-                    keys[key_n], state, new_view, sorted(done), matches,
-                    pair_idx, kp, K, dist, max_dim,
-                )
-                key_n += 1
-                if not bool(ok):
-                    log.warning("view %d: PnP failed, skipping", new_view)
-                    failed.add(new_view)
-                    continue
-                log.info(
-                    "view %d registered (%d PnP inliers)", new_view, int(n_inl)
-                )
-                # Triangulate against every registered view in one dispatch
-                # (src/Sfm.cpp:964-993).
-                D = V
-                M = matches.idx_a.shape[1]
-                fn_all = np.zeros((D, M), np.int32)
-                fd_all = np.zeros((D, M), np.int32)
-                mv_all = np.zeros((D, M), bool)
-                dv_all = np.full((D,), -1, np.int32)
-                for n, d in enumerate(sorted(done)):
-                    fn, fd, mv = self._pair_feats(new_view, d, matches, pair_idx)
-                    fn_all[n] = np.asarray(fn)
-                    fd_all[n] = np.asarray(fd)
-                    mv_all[n] = np.asarray(mv)
-                    dv_all[n] = d
-                state, n_new = triangulate_new_view_all(
-                    state, jnp.asarray(new_view, jnp.int32),
-                    jnp.asarray(dv_all), jnp.asarray(fn_all),
-                    jnp.asarray(fd_all), jnp.asarray(mv_all),
-                    kp.xy, colors, K, dist, cfg,
-                )
-                done.add(new_view)
-                progress = True
-                if run_ba_every_view:
-                    state = self._run_global_ba(
-                        state, kp, pp, anchor=vi, intermediate=True
-                    )
-            if len(done) == V:
-                break
-
+        state = self._grow_component(
+            state, done, set(), keys, tables, kp, colors, pp, K, dist,
+            max_dim, anchor=vi, run_ba_every_view=run_ba_every_view,
+        )
         metrics["t_incremental"] = time.time() - t0
+
+        # 4b. Secondary components + Sim(3) merge — capability beyond the
+        # reference, which loses every view past a viewpoint break
+        # (src/Sfm.cpp:955-958 just skips them). Remaining views bootstrap
+        # their own component with the same engine; components align via
+        # 3D-3D RANSAC similarity (pipeline/merge.py).
+        t0 = time.time()
+        metrics["n_components"] = 1
+        metrics["n_merged_components"] = 0
+        pair_of = {(int(a), int(b)): n for n, (a, b) in enumerate(zip(pi, pj))}
+        scores_np = np.asarray(scores.pose_inlier_ratio)
+        usable_np = np.asarray(scores.usable)
+        tried: set = set()  # seed pairs that failed to bootstrap
+        lost: set = set()  # views in components whose Sim3 merge failed
+        while V - len(done) - len(lost) >= 2:
+            remaining = set(range(V)) - done - lost
+            cand = [
+                (scores_np[p], int(a), int(b))
+                for (a, b), p in pair_of.items()
+                if a in remaining and b in remaining and usable_np[p]
+                and (a, b) not in tried
+            ]
+            if not cand:
+                break
+            _, bi, bj = max(cand)
+            tried.add((bi, bj))
+            log.info("secondary component: bootstrapping from (%d, %d)", bi, bj)
+            state_b = init_state(
+                V, cfg.features.max_keypoints, cfg.max_points, intrinsics.fx
+            )
+            bm = jax.tree_util.tree_map(
+                lambda a: a[pair_of[(bi, bj)]], strict
+            )
+            state_b, okb = bootstrap_pair(
+                keys[self._key_n % len(keys)], state_b, bm, kp.xy, colors,
+                bi, bj, K, dist, cfg,
+            )
+            self._key_n += 1
+            if not bool(okb):
+                log.warning(
+                    "secondary bootstrap (%d, %d) failed — trying next pair",
+                    bi, bj,
+                )
+                continue
+            state_b = self._run_global_ba(
+                state_b, kp, pp, anchor=bi, intermediate=True
+            )
+            done_b = {bi, bj}
+            state_b = self._grow_component(
+                state_b, done_b, done | lost, keys, tables, kp, colors, pp,
+                K, dist, max_dim, anchor=bi,
+                run_ba_every_view=run_ba_every_view,
+            )
+            metrics["n_components"] += 1
+            # --- Sim(3) alignment B -> A on cross-component 3D-3D pairs.
+            from sfm_danpipeline_tpu.ops.similarity import (
+                estimate_sim3_ransac,
+            )
+            from sfm_danpipeline_tpu.pipeline.merge import (
+                cross_component_pairs,
+                merge_components,
+            )
+
+            Xa, Xb, pid_a, pid_b, m = cross_component_pairs(
+                state, state_b, ft_a, ft_b, vt_loose
+            )
+            pts_a = np.asarray(state.points_xyz)[np.asarray(state.points_valid)]
+            diam = float(np.linalg.norm(pts_a.max(0) - pts_a.min(0)))
+            simres = estimate_sim3_ransac(
+                keys[self._key_n % len(keys)], Xb, Xa, m,
+                threshold=0.02 * diam,
+            )
+            self._key_n += 1
+            if bool(simres.ok):
+                log.info(
+                    "merging component %s into main (%d/%d Sim3 inliers, "
+                    "scale %.3f)",
+                    sorted(done_b), int(simres.n_inliers), int(jnp.sum(m)),
+                    float(simres.sim.s),
+                )
+                state = merge_components(
+                    state, state_b, simres.sim, pid_a, pid_b, simres.inliers
+                )
+                done |= done_b
+                metrics["n_merged_components"] += 1
+                state = self._run_global_ba(
+                    state, kp, pp, anchor=vi, intermediate=True
+                )
+            else:
+                log.warning(
+                    "component %s: Sim3 alignment failed (%d candidate "
+                    "pairs, %d inliers) — dropping it",
+                    sorted(done_b), int(jnp.sum(m)), int(simres.n_inliers),
+                )
+                lost |= done_b  # its views stay unregistered in the result
+        metrics["t_components"] = time.time() - t0
 
         # 5. Final global BA (the reference's intended adjustCurrentBundle,
         # src/Sfm.cpp:883-888, with Ceres semantics from BundleAdjustment.cpp).
@@ -303,6 +366,78 @@ class SfMPipeline:
         )
 
     # ------------------------------------------------------------------
+    def _grow_component(
+        self,
+        state: ReconstructionState,
+        done: set,
+        exclude: set,
+        keys,
+        tables,
+        kp: Keypoints,
+        colors: jnp.ndarray,
+        pp: jnp.ndarray,
+        K: jnp.ndarray,
+        dist: jnp.ndarray,
+        max_dim: float,
+        anchor: int,
+        run_ba_every_view: bool = True,
+    ) -> ReconstructionState:
+        """Grow one connected component by PnP registration + triangulation
+        (the reference's addMoreViews loop, src/Sfm.cpp:893-1009). `done` is
+        updated in place; `exclude` holds views owned by other components.
+
+        Registration gathers 2D-3D support from the loose-ratio table (a
+        thin bridge pair rarely survives the strict 0.8 test; outliers are
+        absorbed by the in-jit epipolar prefilter + PnP RANSAC), while
+        triangulation reads the strict table so the cloud stays clean.
+        Outer rounds retry failed views after others registered — they may
+        have gained 2D-3D support from newly triangulated points.
+        """
+        ft_a, ft_b, vt_strict, vt_loose = tables
+        V = state.n_views
+        failed: set = set()
+        progress = True
+        while progress:
+            progress = False
+            failed.clear()
+            while True:
+                frontier = self._frontier(done, failed | exclude, V)
+                if not frontier:
+                    break
+                new_view = frontier[0]
+                dv = np.full((V,), -1, np.int32)
+                dv[: len(done)] = sorted(done)
+                dv_j = jnp.asarray(dv)
+                nv_j = jnp.asarray(new_view, jnp.int32)
+                state, ok, n_inl = register_view(
+                    keys[self._key_n % len(keys)], state, nv_j, dv_j,
+                    ft_a, ft_b, vt_loose, kp.xy, K, dist, max_dim,
+                    self.config,
+                )
+                self._key_n += 1
+                if not bool(ok):
+                    log.warning("view %d: PnP failed, skipping", new_view)
+                    failed.add(new_view)
+                    continue
+                log.info(
+                    "view %d registered (%d PnP inliers)",
+                    new_view,
+                    int(n_inl),
+                )
+                state, _ = triangulate_new_view_all(
+                    state, nv_j, dv_j, ft_a, ft_b, vt_strict, kp.xy,
+                    colors, K, dist, self.config,
+                )
+                done.add(new_view)
+                progress = True
+                if run_ba_every_view:
+                    state = self._run_global_ba(
+                        state, kp, pp, anchor=anchor, intermediate=True
+                    )
+            if len(done) + len(exclude) >= V:
+                break
+        return state
+
     def _frontier(self, done: set, failed: set, V: int) -> List[int]:
         """Index-neighbor frontier (reference: +-1 of done views,
         src/Sfm.cpp:900-931), widened to every remaining view once the
@@ -317,53 +452,6 @@ class SfMPipeline:
         if not out:
             out = [v for v in range(V) if v not in done and v not in failed]
         return out
-
-    def _pair_feats(self, a: int, b: int, matches, pair_idx):
-        """Match features oriented as (feat_in_a, feat_in_b)."""
-        if (a, b) in pair_idx:
-            n = pair_idx[(a, b)]
-            return matches.idx_a[n], matches.idx_b[n], matches.valid[n]
-        n = pair_idx[(b, a)]
-        return matches.idx_b[n], matches.idx_a[n], matches.valid[n]
-
-    def _register(
-        self, key, state, new_view, done_list, matches, pair_idx, kp, K, dist,
-        max_dim,
-    ):
-        V = state.n_views
-        D = V  # fixed-size done-view axis (padded with -1)
-        M = matches.idx_a.shape[1]
-        feat_new = np.zeros((D, M), np.int32)
-        feat_done = np.zeros((D, M), np.int32)
-        mvalid = np.zeros((D, M), bool)
-        dv = np.full((D,), -1, np.int32)
-        keys = jax.random.split(key, len(done_list) + 1)
-        key = keys[0]
-        for n, d in enumerate(done_list):
-            fn, fd, mv = self._pair_feats(new_view, d, matches, pair_idx)
-            pn = kp.xy[new_view, fn]
-            pd = kp.xy[d, fd]
-            mv = epipolar_filter_matches(
-                keys[n + 1], pn, pd, mv, K, dist, self.config
-            )
-            feat_new[n] = np.asarray(fn)
-            feat_done[n] = np.asarray(fd)
-            mvalid[n] = np.asarray(mv)
-            dv[n] = d
-        return register_view(
-            key,
-            state,
-            jnp.asarray(new_view, jnp.int32),
-            jnp.asarray(dv),
-            jnp.asarray(feat_new),
-            jnp.asarray(feat_done),
-            jnp.asarray(mvalid),
-            kp.xy,
-            K,
-            dist,
-            max_dim,
-            self.config,
-        )
 
     def _run_global_ba(
         self, state, kp, pp, anchor: int, return_metrics: bool = False,

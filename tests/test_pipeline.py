@@ -13,11 +13,14 @@ def test_temple_incremental_reconstruction(temple_images, temple_intrinsics):
     cfg = PipelineConfig().replace(max_points=8192)
     res = SfMPipeline(cfg).run(temple_images, temple_intrinsics)
     # The temple subset has a genuine viewpoint break between images 5 and 6
-    # (63 raw matches, <25% flow-coherent), so the largest reconstructible
-    # component is views 0-5; the reference's >=120-match gate
-    # (src/Sfm.cpp:533) excludes the bridge pair as well.
-    assert len(res.registered_views) >= 6
-    assert res.metrics["n_points"] >= 700
+    # (63 raw matches, <25% flow-coherent): the reference's pipeline loses
+    # views 6-9 outright (PnP against the views-0-5 cloud starves,
+    # src/Sfm.cpp:955-958 just skips). The multi-component engine
+    # reconstructs {6..9} independently and Sim(3)-merges it, so ALL views
+    # register here.
+    assert len(res.registered_views) == 10
+    assert res.metrics["n_merged_components"] >= 1
+    assert res.metrics["n_points"] >= 1000
     assert res.metrics["ba_rms_px"] < 1.0
     # Cameras form a coherent arc: consecutive centers roughly equidistant.
     from sfm_danpipeline_tpu.utils.metrics import camera_centers
