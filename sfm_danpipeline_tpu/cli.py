@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-points", type=int, default=16384)
     p.add_argument("--max-keypoints", type=int, default=2048)
     p.add_argument(
-        "--detector", choices=["sift", "orb"], default="sift",
+        "--detector", choices=["sift", "akaze", "orb"], default="sift",
         help="feature detector (reference's selector, include/Sfm.h:40-61)",
     )
     p.add_argument(
