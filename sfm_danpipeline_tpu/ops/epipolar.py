@@ -173,8 +173,15 @@ def _cheirality_counts(
     x1: jnp.ndarray,
     x2: jnp.ndarray,
     mask: jnp.ndarray,
-) -> jnp.ndarray:
-    """Points in front of both cameras for each of the 4 candidates."""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per candidate: (near-in-front count, plain in-front count).
+
+    The near gate (recoverPose's distanceThresh analogue, default 50 in
+    OpenCV) sharpens the 4-way disambiguation when matches are distant or
+    near-degenerate — use it for RANKING only. Narrow-baseline pairs put
+    the whole scene beyond 50 baseline units (temple pair (6,7): depth ~
+    100x baseline), so quality GATES must use the plain z>0 count or they
+    reject perfectly good poses."""
     eye = jnp.eye(3)
     zero = jnp.zeros(3)
     P1 = pose_matrix(eye, zero)
@@ -184,10 +191,9 @@ def _cheirality_counts(
         X = triangulate_dlt(P1, P2, x1, x2)
         z1 = X[:, 2]
         z2 = X @ R.T[:, 2] + t[2]
-        # Also reject points at implausible distance (recoverPose's
-        # dist-threshold analogue, default 50 in OpenCV).
+        front = (z1 > 0) & (z2 > 0) & mask
         near = jnp.abs(z1) < 50.0
-        return jnp.sum((z1 > 0) & (z2 > 0) & near & mask)
+        return jnp.sum(front & near), jnp.sum(front)
 
     return jax.vmap(count)(Rs, ts)
 
@@ -239,20 +245,23 @@ def estimate_relative_pose(
     T = 8
     _, top = jax.lax.top_k(-scores, T)
 
+    M1 = x1.shape[0] + 1  # lexicographic rank base: near-count dominates
+
     def eval_candidate(h):
         E_h = models[top[h]]
         band_h = (res[top[h]] < refit_n2) & valid
         Rs_h, ts_h = decompose_essential(E_h)
-        counts_h = _cheirality_counts(Rs_h, ts_h, x1, x2, band_h)
-        b = jnp.argmax(counts_h)
-        return counts_h[b], Rs_h[b], ts_h[b], band_h
+        near_h, front_h = _cheirality_counts(Rs_h, ts_h, x1, x2, band_h)
+        rank_h = near_h * M1 + front_h
+        b = jnp.argmax(rank_h)
+        return rank_h[b], front_h[b], Rs_h[b], ts_h[b], band_h
 
-    fronts, Rs_c, ts_c, bands_c = jax.vmap(eval_candidate)(jnp.arange(T))
-    pick = jnp.argmax(fronts)
+    ranks, fronts, Rs_c, ts_c, bands_c = jax.vmap(eval_candidate)(
+        jnp.arange(T)
+    )
+    pick = jnp.argmax(ranks)
     R0, t0 = Rs_c[pick], ts_c[pick]
     band0 = bands_c[pick]
-    counts0 = fronts
-    best0 = pick
     unref_front0 = fronts[pick]
 
     R, t, band = R0, t0, band0
@@ -267,9 +276,9 @@ def estimate_relative_pose(
     # (in-front count, inlier count) — never worse than the MSAC model.
     E = essential_from_pose(R, t)
     Rs2, ts2 = decompose_essential(E)
-    counts2 = _cheirality_counts(Rs2, ts2, x1, x2, band)
-    best2 = jnp.argmax(counts2)
-    refined_front = counts2[best2]
+    near2, front2 = _cheirality_counts(Rs2, ts2, x1, x2, band)
+    best2 = jnp.argmax(near2 * M1 + front2)
+    refined_front = front2[best2]
     unref_front = unref_front0
     n_ref = jnp.sum(band)
     # Accept the refinement only when its in-front fraction is healthy.

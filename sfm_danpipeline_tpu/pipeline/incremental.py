@@ -199,6 +199,47 @@ def register_view(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def register_and_triangulate(
+    key: jax.Array,
+    state: ReconstructionState,
+    new_view: jnp.ndarray,
+    done_views: jnp.ndarray,
+    feat_tab_a: jnp.ndarray,
+    feat_tab_b: jnp.ndarray,
+    valid_tab_loose: jnp.ndarray,
+    valid_tab_strict: jnp.ndarray,
+    keypoints_xy: jnp.ndarray,
+    colors: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    image_max_dim: float,
+    config: PipelineConfig,
+) -> Tuple[ReconstructionState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused per-view step: PnP registration, and — when it succeeds —
+    triangulation against every done view, in a single device dispatch.
+
+    The split register/triangulate pair costs two tunnel round-trips per
+    view plus a host sync between them; fusing them halves the per-view
+    dispatch latency of the incremental loop (the reference's inner loop,
+    src/Sfm.cpp:933-996). Returns (state, ok, n_inliers, n_points).
+    """
+    state, ok, n_inl = register_view(
+        key, state, new_view, done_views, feat_tab_a, feat_tab_b,
+        valid_tab_loose, keypoints_xy, K, dist, image_max_dim, config,
+    )
+
+    def tri(st):
+        st2, _ = triangulate_new_view_all(
+            st, new_view, done_views, feat_tab_a, feat_tab_b,
+            valid_tab_strict, keypoints_xy, colors, K, dist, config,
+        )
+        return st2
+
+    state = jax.lax.cond(ok, tri, lambda st: st, state)
+    return state, ok, n_inl, state.n_points
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def triangulate_new_view_all(
     state: ReconstructionState,
     new_view: jnp.ndarray,

@@ -73,6 +73,20 @@ def cross_component_pairs(
     flat_mask = mask.reshape(-1)
     flat_pa = pa.reshape(-1)
     flat_pb = pb.reshape(-1)
+    # Deduplicate: the same (A point, B point) pair is hit once per view
+    # pair observing it, and duplicated pairs make RANSAC inlier counts
+    # meaningless (a wrong model "supported" by one structure region
+    # repeated 4x outvotes the right one). Keep one row per B point and
+    # then one per A point (a point can fuse with at most one partner).
+    n = flat_pa.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    P = state_a.capacity
+    for key_arr in (flat_pb, flat_pa):
+        seen = jnp.full((P + 1,), -1, jnp.int32)  # slot P = masked dump
+        seen = seen.at[jnp.where(flat_mask, key_arr, P)].max(
+            jnp.where(flat_mask, idx, -1)
+        )
+        flat_mask = flat_mask & (seen[key_arr] == idx)
     order = jnp.argsort(~flat_mask, stable=True)[:max_pairs]
     pid_a = flat_pa[order]
     pid_b = flat_pb[order]

@@ -9,6 +9,7 @@ between stages (SURVEY.md §7 non-goals): artifacts are written at the end.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Dict, List, Optional, Tuple
@@ -32,8 +33,7 @@ from sfm_danpipeline_tpu.pipeline.bootstrap import (
 )
 from sfm_danpipeline_tpu.pipeline.incremental import (
     build_match_tables,
-    register_view,
-    triangulate_new_view_all,
+    register_and_triangulate,
 )
 from sfm_danpipeline_tpu.pipeline.tracks import (
     ReconstructionState,
@@ -43,6 +43,88 @@ from sfm_danpipeline_tpu.pipeline.tracks import (
 )
 
 log = logging.getLogger("sfm_danpipeline_tpu")
+
+
+def _bucket(n: int, cap: int) -> int:
+    """Static BA problem size covering n points: 1024 -> 4096 -> capacity.
+
+    Points occupy slots [0, n_points) (append-only, tracks.add_points), so a
+    prefix slice of the track table is a complete BA problem. Coarse buckets
+    keep the recompile count at ~1 per size while shrinking the padded
+    observation table up to 8x for small maps (intermediate BAs early in the
+    incremental loop are the common case)."""
+    for b in (1024, 4096):
+        if n <= b < cap:
+            return b
+    return cap
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bucket", "ba_config", "fix_focal", "max_error_px"),
+)
+def _ba_step(
+    state: ReconstructionState,
+    keypoints_xy: jnp.ndarray,
+    pp: jnp.ndarray,
+    fix_cam: jnp.ndarray,
+    n_bucket: int,
+    ba_config,
+    fix_focal: bool,
+    max_error_px: float,
+):
+    """Global BA + map hygiene as ONE dispatch: build the observation table
+    from the first n_bucket point slots, run the Schur-LM solver, write the
+    refined cameras/points back, and prune bad observations — the per-view
+    `adjustCurrentBundle` intent of the reference (src/Sfm.cpp:883-888,996)
+    without per-stage tunnel round-trips."""
+    from sfm_danpipeline_tpu.ba.problem import BAProblem
+
+    B = n_bucket
+    V = state.n_views
+    sub_feat = state.track_feat[:B]  # (B, V)
+    sub_valid = state.points_valid[:B]
+    obs_pt = jnp.repeat(jnp.arange(B, dtype=jnp.int32), V)
+    obs_cam = jnp.tile(jnp.arange(V, dtype=jnp.int32), B)
+    feat = sub_feat.reshape(-1)
+    w = (
+        (feat >= 0)
+        & sub_valid[obs_pt]
+        & state.camera_valid[obs_cam]
+    )
+    xy = keypoints_xy[obs_cam, jnp.clip(feat, 0)] - pp
+    prob = BAProblem(
+        cameras=state.cameras,
+        focal=state.focal,
+        points=state.points_xyz[:B],
+        obs_cam=obs_cam,
+        obs_pt=obs_pt,
+        obs_xy=xy,
+        obs_w=w.astype(jnp.float32),
+        fix_cam=fix_cam,
+        fix_focal=jnp.asarray(fix_focal),
+    )
+    res = run_ba(prob, ba_config)
+    state = dataclasses.replace(
+        state,
+        cameras=res.cameras,
+        focal=res.focal,
+        points_xyz=state.points_xyz.at[:B].set(res.points),
+    )
+    zero = jnp.zeros((), jnp.float32)
+    one = jnp.ones((), jnp.float32)
+    K_full = jnp.stack(
+        [
+            jnp.stack([state.focal, zero, pp[0]]),
+            jnp.stack([zero, state.focal, pp[1]]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+    state = prune_observations(
+        state, keypoints_xy, K_full, max_error_px=max_error_px
+    )
+    n_obs = jnp.sum(w)
+    return state, res.initial_cost, res.final_cost, res.iterations, n_obs
 
 
 @dataclasses.dataclass
@@ -304,8 +386,13 @@ class SfMPipeline:
             Xa, Xb, pid_a, pid_b, m = cross_component_pairs(
                 state, state_b, ft_a, ft_b, vt_loose
             )
+            # Robust scene diameter: a handful of distant outlier points
+            # inflate the max-min diagonal (and with it the Sim3 RANSAC
+            # threshold) enough that a wrong-scale alignment collects
+            # hundreds of "inliers"; the 5-95 percentile box is stable.
             pts_a = np.asarray(state.points_xyz)[np.asarray(state.points_valid)]
-            diam = float(np.linalg.norm(pts_a.max(0) - pts_a.min(0)))
+            lo, hi = np.percentile(pts_a, [5.0, 95.0], axis=0)
+            diam = float(np.linalg.norm(hi - lo))
             simres = estimate_sim3_ransac(
                 keys[self._key_n % len(keys)], Xb, Xa, m,
                 threshold=0.02 * diam,
@@ -333,6 +420,22 @@ class SfMPipeline:
                     sorted(done_b), int(jnp.sum(m)), int(simres.n_inliers),
                 )
                 lost |= done_b  # its views stay unregistered in the result
+
+        # 4c. Straggler sweep: a bridging view that failed PnP against
+        # either component alone (too few 2D-3D correspondences on each
+        # side of a viewpoint break) often registers easily against the
+        # MERGED cloud, which now holds points on both sides.
+        if metrics["n_merged_components"] > 0 and len(done) + len(lost) < V:
+            n_before = len(done)
+            state = self._grow_component(
+                state, done, lost, keys, tables, kp, colors, pp, K, dist,
+                max_dim, anchor=vi, run_ba_every_view=run_ba_every_view,
+            )
+            if len(done) > n_before:
+                log.info(
+                    "straggler sweep registered %d more view(s)",
+                    len(done) - n_before,
+                )
         metrics["t_components"] = time.time() - t0
 
         # 5. Final global BA (the reference's intended adjustCurrentBundle,
@@ -409,10 +512,10 @@ class SfMPipeline:
                 dv[: len(done)] = sorted(done)
                 dv_j = jnp.asarray(dv)
                 nv_j = jnp.asarray(new_view, jnp.int32)
-                state, ok, n_inl = register_view(
+                state, ok, n_inl, _ = register_and_triangulate(
                     keys[self._key_n % len(keys)], state, nv_j, dv_j,
-                    ft_a, ft_b, vt_loose, kp.xy, K, dist, max_dim,
-                    self.config,
+                    ft_a, ft_b, vt_loose, vt_strict, kp.xy, colors,
+                    K, dist, max_dim, self.config,
                 )
                 self._key_n += 1
                 if not bool(ok):
@@ -423,10 +526,6 @@ class SfMPipeline:
                     "view %d registered (%d PnP inliers)",
                     new_view,
                     int(n_inl),
-                )
-                state, _ = triangulate_new_view_all(
-                    state, nv_j, dv_j, ft_a, ft_b, vt_strict, kp.xy,
-                    colors, K, dist, self.config,
                 )
                 done.add(new_view)
                 progress = True
@@ -457,57 +556,30 @@ class SfMPipeline:
         self, state, kp, pp, anchor: int, return_metrics: bool = False,
         intermediate: bool = False,
     ):
-        obs_cam, obs_pt, obs_xy, obs_w = observation_table(state, kp.xy, pp)
         fix = np.zeros(state.n_views, bool)
         fix[anchor] = True
-        prob = make_problem(
-            cameras=state.cameras,
-            focal=state.focal,
-            points=state.points_xyz,
-            obs_cam=obs_cam,
-            obs_pt=obs_pt,
-            obs_xy=obs_xy,
-            obs_w=obs_w,
-            fix_cam=jnp.asarray(fix),
-            fix_focal=not self.config.ba.optimize_focal,
-        )
         ba_cfg = self.config.ba
         if intermediate:
             ba_cfg = dataclasses.replace(
                 ba_cfg, max_iterations=ba_cfg.intermediate_iterations
             )
-        res = run_ba(prob, ba_cfg)
-        state = dataclasses.replace(
-            state,
-            cameras=res.cameras,
-            focal=res.focal,
-            points_xyz=res.points,
-        )
-        # Map hygiene: drop badly-reprojecting observations and dead points
-        # so later PnP registrations see a clean cloud.
-        K_full = jnp.asarray(
-            [
-                [state.focal, 0.0, pp[0]],
-                [0.0, state.focal, pp[1]],
-                [0.0, 0.0, 1.0],
-            ],
-            jnp.float32,
-        )
-        state = prune_observations(
-            state, kp.xy, K_full,
-            max_error_px=self.config.geometry.max_reprojection_error_px,
+        n_bucket = _bucket(int(state.n_points), state.capacity)
+        state, c0, c1, iters, n_obs = _ba_step(
+            state, kp.xy, pp, jnp.asarray(fix), n_bucket, ba_cfg,
+            not self.config.ba.optimize_focal,
+            float(self.config.geometry.max_reprojection_error_px),
         )
         if not return_metrics:
             return state
-        n_obs = float(jnp.sum(obs_w))
-        rms = float(jnp.sqrt(2.0 * res.final_cost / max(n_obs, 1.0)))
+        n_obs = float(n_obs)
+        rms = float(jnp.sqrt(2.0 * c1 / max(n_obs, 1.0)))
         metrics = {
-            "ba_initial_cost": float(res.initial_cost),
-            "ba_final_cost": float(res.final_cost),
-            "ba_iterations": int(res.iterations),
+            "ba_initial_cost": float(c0),
+            "ba_final_cost": float(c1),
+            "ba_iterations": int(iters),
             "ba_rms_px": rms,
             "ba_n_obs": n_obs,
-            "focal": float(res.focal),
+            "focal": float(state.focal),
         }
         log.info(
             "BA: cost %.1f -> %.1f (%d iters, RMS %.3f px, %d obs)",
