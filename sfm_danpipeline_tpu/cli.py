@@ -30,8 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default="out", help="output directory")
     p.add_argument(
         "--stages",
-        default="sfm,dense,segment,dendrometry",
-        help="comma-separated stages: sfm,dense,mesh,segment,dendrometry",
+        default="sfm,dense,filter,segment,dendrometry",
+        help="comma-separated stages: sfm,dense,filter,mesh,segment,"
+        "dendrometry",
     )
     p.add_argument("--max-points", type=int, default=16384)
     p.add_argument("--max-keypoints", type=int, default=2048)
@@ -43,8 +44,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--matcher", choices=["bf", "flow"], default="bf",
         help="bf = descriptor kNN + ratio; flow = pyramidal LK tracking",
     )
-    p.add_argument("--ratio", type=float, default=0.8, help="Lowe ratio")
+    p.add_argument(
+        "--ratio", type=float, default=None,
+        help="Lowe ratio (default: 0.8 for SIFT per include/Sfm.h:60; 0.9 "
+        "for the binary AKAZE/ORB descriptors, which need a looser test)",
+    )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--viz", action="store_true",
+        help="dump visualization PNGs (keypoints, baseline matches, cloud "
+        "views, depth maps) — the artifact form of the reference's "
+        "blocking viewers (src/Sfm.cpp:276-296,416-464,1385-1397)",
+    )
     p.add_argument(
         "--no-ba-every-view", action="store_true",
         help="only run the final global bundle adjustment",
@@ -77,6 +88,11 @@ def main(argv=None) -> int:
     from sfm_danpipeline_tpu.io.ply import write_pcd
 
     cfg = PipelineConfig()
+    # Per-detector strict ratio: binary MLDB/BRIEF descriptors (AKAZE/ORB)
+    # need a looser Lowe test than SIFT's 0.8 (include/Sfm.h:60).
+    ratio = args.ratio
+    if ratio is None:
+        ratio = 0.9 if args.detector in ("akaze", "orb") else 0.8
     cfg = dataclasses.replace(
         cfg,
         max_points=args.max_points,
@@ -86,7 +102,7 @@ def main(argv=None) -> int:
             detector=args.detector,
         ),
         matching=dataclasses.replace(
-            cfg.matching, ratio=args.ratio, method=args.matcher
+            cfg.matching, ratio=ratio, method=args.matcher
         ),
         geometry=dataclasses.replace(cfg.geometry, seed=args.seed),
     )
@@ -104,6 +120,9 @@ def main(argv=None) -> int:
         mfile.write(json.dumps(rec) + "\n")
         mfile.flush()
 
+    from sfm_danpipeline_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
     points = colors = None
     state = None
     dres = None
@@ -121,15 +140,44 @@ def main(argv=None) -> int:
     if "sfm" in stages:
         from sfm_danpipeline_tpu.pipeline.sfm import SfMPipeline
 
-        res = SfMPipeline(cfg).run(
-            images, intrinsics, run_ba_every_view=not args.no_ba_every_view
-        )
+        with timer.stage("sfm"):
+            res = SfMPipeline(cfg).run(
+                images, intrinsics,
+                run_ba_every_view=not args.no_ba_every_view,
+            )
         state = res.state
         points, colors = res.points, res.colors
         emit("sfm", res.metrics)
         write_ply(
             os.path.join(args.output, "sparse.ply"), points, colors
         )
+        if args.viz:
+            from sfm_danpipeline_tpu.utils import viz
+
+            vdir = os.path.join(args.output, "viz")
+            os.makedirs(vdir, exist_ok=True)
+            kp = res.keypoints
+            for i in range(images.n_images):
+                viz.draw_keypoints(
+                    os.path.join(vdir, f"keypoints_{i:04d}.png"),
+                    np.asarray(images.color[i]),
+                    np.asarray(kp.xy[i]),
+                    np.asarray(kp.valid[i]),
+                )
+            if res.baseline_matches is not None:
+                bi = int(res.metrics["baseline_pair_i"])
+                bj = int(res.metrics["baseline_pair_j"])
+                xa, xb, mv = res.baseline_matches
+                viz.draw_matches(
+                    os.path.join(vdir, f"matches_{bi:04d}_{bj:04d}.png"),
+                    np.asarray(images.color[bi]),
+                    np.asarray(images.color[bj]),
+                    xa, xb, mv,
+                )
+            viz.save_cloud_views(
+                os.path.join(vdir, "sparse_cloud.png"), points, colors
+            )
+            log.info("viz: artifacts in %s", vdir)
         cams = {
             "registered_views": res.registered_views,
             "focal": float(res.state.focal),
@@ -150,7 +198,8 @@ def main(argv=None) -> int:
             if state is None:
                 log.error("dense stage requires sfm stage (or a checkpoint)")
                 return 1
-            dres = densify(images, intrinsics, state, cfg.mvs)
+            with timer.stage("dense"):
+                dres = densify(images, intrinsics, state, cfg.mvs)
             points, colors = dres.points, dres.colors
             emit("dense", dres.metrics)
             write_ply(
@@ -161,8 +210,76 @@ def main(argv=None) -> int:
                 os.path.join(args.output, "MAP3D.pcd"), points, colors
             )
             log.info("dense: %d points -> dense.ply, MAP3D.pcd", len(points))
+            if args.viz:
+                from sfm_danpipeline_tpu.utils import viz
+
+                vdir = os.path.join(args.output, "viz")
+                os.makedirs(vdir, exist_ok=True)
+                for i, dm in enumerate(np.asarray(dres.depth_maps)):
+                    viz.save_depth_map(
+                        os.path.join(vdir, f"depth_{i:04d}.png"), dm
+                    )
+                viz.save_cloud_views(
+                    os.path.join(vdir, "dense_cloud.png"), points, colors
+                )
         except ImportError:
             log.warning("dense stage not available yet; skipping")
+
+    if "filter" in stages and points is not None and len(points) > 0:
+        # Cloud filtering between dense and mesh/segment — the reference's
+        # cloudPointFilter + removePoints (src/Sfm.cpp:1323-1345). Its
+        # PassThrough window and outlier radius are in the reference's
+        # metric gauge; SfM output lives in an arbitrary gauge, so each
+        # filter is gated: when it would discard nearly the whole cloud it
+        # is the wrong frame and is skipped (same guard as segmentation's
+        # z-window below).
+        import jax.numpy as _jnp
+
+        from sfm_danpipeline_tpu.analysis.filtering import (
+            passthrough_mask,
+            radius_outlier_mask,
+        )
+
+        n0 = len(points)
+        valid = _jnp.ones(n0, bool)
+        pts_j = _jnp.asarray(points)
+        m = passthrough_mask(
+            pts_j, cfg.analysis.passthrough_axis,
+            cfg.analysis.passthrough_min, cfg.analysis.passthrough_max,
+            valid,
+        )
+        if float(_jnp.mean(m)) >= 0.05:
+            valid = m
+        else:
+            log.warning(
+                "filter: PassThrough %s in [%g, %g] keeps %.2f%% — wrong "
+                "gauge; skipping it",
+                cfg.analysis.passthrough_axis, cfg.analysis.passthrough_min,
+                cfg.analysis.passthrough_max, 100.0 * float(_jnp.mean(m)),
+            )
+        # Radius-outlier removal scaled to the cloud: the reference's
+        # absolute r=0.07 assumes its gauge; use it when sane, else fall
+        # back to 1% of the bounding-box diagonal with a small neighbor
+        # minimum.
+        diag = float(np.linalg.norm(points.max(0) - points.min(0)))
+        radius, min_nb = cfg.analysis.outlier_radius, cfg.analysis.outlier_min_neighbors
+        m = radius_outlier_mask(pts_j, valid, radius, min_nb)
+        if float(_jnp.sum(m)) < 0.05 * n0:
+            radius, min_nb = 0.01 * diag, 3
+            m = radius_outlier_mask(pts_j, valid, radius, min_nb)
+            log.warning(
+                "filter: reference radius-outlier params keep too little; "
+                "using r=%.4g, >=%d neighbors", radius, min_nb
+            )
+        keep = np.asarray(m)
+        points = points[keep]
+        if colors is not None:
+            colors = colors[keep]
+        emit("filter", {"n_before": n0, "n_after": int(keep.sum())})
+        log.info("filter: %d -> %d points", n0, int(keep.sum()))
+        write_ply(
+            os.path.join(args.output, "filtered.ply"), points, colors
+        )
 
     if "mesh" in stages:
         # Reference meshing stage (src/Sfm.cpp:1347-1383); here TSDF +
@@ -248,6 +365,7 @@ def main(argv=None) -> int:
             json.dump(rep, f, indent=1)
         log.info("dendrometry: total height %.3f", rep["total_height"])
 
+    emit("timing", timer.as_metrics())
     mfile.close()
     return 0
 

@@ -177,11 +177,13 @@ def _cheirality_counts(
     """Per candidate: (near-in-front count, plain in-front count).
 
     The near gate (recoverPose's distanceThresh analogue, default 50 in
-    OpenCV) sharpens the 4-way disambiguation when matches are distant or
-    near-degenerate — use it for RANKING only. Narrow-baseline pairs put
-    the whole scene beyond 50 baseline units (temple pair (6,7): depth ~
-    100x baseline), so quality GATES must use the plain z>0 count or they
-    reject perfectly good poses."""
+    OpenCV) is a TIEBREAK only. Narrow-baseline pairs put the whole scene
+    beyond 50 baseline units (temple pair (6,7): depth ~100x baseline), so
+    the correct pose can have near == 0 while a mirrored pose scatters a
+    few spurious triangulations inside the near band — letting near-count
+    dominate the ranking selects the WRONG pose on exactly those pairs
+    (the round-1 end-of-round regression). Rank by front first, near
+    second; quality gates use the plain z>0 count."""
     eye = jnp.eye(3)
     zero = jnp.zeros(3)
     P1 = pose_matrix(eye, zero)
@@ -245,14 +247,14 @@ def estimate_relative_pose(
     T = 8
     _, top = jax.lax.top_k(-scores, T)
 
-    M1 = x1.shape[0] + 1  # lexicographic rank base: near-count dominates
+    M1 = x1.shape[0] + 1  # lexicographic rank base: front-count dominates
 
     def eval_candidate(h):
         E_h = models[top[h]]
         band_h = (res[top[h]] < refit_n2) & valid
         Rs_h, ts_h = decompose_essential(E_h)
         near_h, front_h = _cheirality_counts(Rs_h, ts_h, x1, x2, band_h)
-        rank_h = near_h * M1 + front_h
+        rank_h = front_h * M1 + near_h
         b = jnp.argmax(rank_h)
         return rank_h[b], front_h[b], Rs_h[b], ts_h[b], band_h
 
@@ -277,7 +279,7 @@ def estimate_relative_pose(
     E = essential_from_pose(R, t)
     Rs2, ts2 = decompose_essential(E)
     near2, front2 = _cheirality_counts(Rs2, ts2, x1, x2, band)
-    best2 = jnp.argmax(near2 * M1 + front2)
+    best2 = jnp.argmax(front2 * M1 + near2)
     refined_front = front2[best2]
     unref_front = unref_front0
     n_ref = jnp.sum(band)

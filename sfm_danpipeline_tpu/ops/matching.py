@@ -176,7 +176,9 @@ def knn2_pallas(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_matches", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("max_matches", "use_pallas", "strict_ratio")
+)
 def match_pair(
     desc_a: jnp.ndarray,
     valid_a: jnp.ndarray,
@@ -185,12 +187,18 @@ def match_pair(
     ratio: float = 0.8,
     max_matches: int = 1024,
     use_pallas: bool = False,
+    strict_ratio: float | None = None,
 ) -> PairMatches:
     """Ratio-test matches from image a to image b (src/Sfm.cpp:599-607).
 
     A match (i -> j) is kept when d1 <= ratio * d2 with L2 (not squared)
     distances, i is valid, and at least 2 valid candidates exist. The best
     `max_matches` by distance are emitted in fixed-shape slots.
+
+    `strict_ratio` < `ratio` biases the fixed budget: matches passing the
+    strict test always rank ahead of loose-only ones, so a saturated pair
+    never evicts a strict match (the reference's NN_MATCH_RATIO=0.8 set,
+    include/Sfm.h:60) in favor of a loose registration-only match.
     """
     knn = knn2_pallas if use_pallas else knn2_jnp
     best_idx, best_d2, second_d2 = knn(desc_a, desc_b, valid_b)
@@ -199,6 +207,9 @@ def match_pair(
     lowe = d1 / jnp.maximum(d2, 1e-12)
     keep = valid_a & (best_d2 < _INF) & (second_d2 < _INF) & (lowe <= ratio)
     score = jnp.where(keep, -d1, -_INF)
+    if strict_ratio is not None:
+        # No-op when strict_ratio >= ratio: kept matches have lowe <= ratio.
+        score = jnp.where(keep & (lowe > strict_ratio), score - 1e9, score)
     k = min(max_matches, score.shape[0])
     _, order = jax.lax.top_k(score, k)
     if k < max_matches:  # keep the fixed output-shape contract
@@ -221,6 +232,7 @@ def match_all_pairs(
     ratio: float = 0.8,
     max_matches: int = 1024,
     use_pallas: bool = False,
+    strict_ratio: float | None = None,
 ) -> PairMatches:
     """Batch-match an explicit list of image pairs.
 
@@ -239,6 +251,7 @@ def match_all_pairs(
             ratio=ratio,
             max_matches=max_matches,
             use_pallas=use_pallas,
+            strict_ratio=strict_ratio,
         )
 
     return jax.vmap(one)(pair_i, pair_j)

@@ -10,18 +10,41 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def distort_normalized(
+    xn: jnp.ndarray, dist: jnp.ndarray
+) -> jnp.ndarray:
+    """Forward 5-coefficient OpenCV distortion model on normalized coords
+    (k1, k2, p1, p2, k3) — what cv::projectPoints applies before K
+    (reference src/Sfm.cpp:840,847). xn: (..., 2)."""
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    x, y = xn[..., 0], xn[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
 def project(
-    X: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray, K: jnp.ndarray,
+    X: jnp.ndarray,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Project world points into pixels. X: (..., 3) -> (..., 2).
 
-    Distortion is applied by callers only when needed; the bundled temple
-    calibration has zero distortion (data/temple/camera_calibration_template.xml).
+    `dist` applies the reference's 5-coefficient model (cv::projectPoints
+    semantics, src/Sfm.cpp:840,847). The pipeline canonicalizes keypoints to
+    ideal pinhole pixels up front (pipeline/sfm.py), so internal callers
+    pass dist=None; pass it when reprojecting against RAW detections.
     """
     x_cam = X @ R.T + t
     x_n = x_cam[..., :2] / jnp.where(
         jnp.abs(x_cam[..., 2:3]) < 1e-12, 1e-12, x_cam[..., 2:3]
     )
+    if dist is not None:
+        x_n = distort_normalized(x_n, dist)
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
     return jnp.stack(

@@ -118,6 +118,11 @@ def merge_components(
     """
     P = state_a.capacity
     V = state_a.n_views
+    # Guard the disjoint-views invariant (callers grow B with A's views in
+    # the exclude set, but that is enforced a module away): a view already
+    # registered in A keeps A's camera and A's feat_to_point row even if a
+    # buggy caller hands us a B that also claims it.
+    b_cams = state_b.camera_valid & ~state_a.camera_valid
 
     # --- Transform B geometry into A's frame.
     xyz_b = apply_sim3(sim, state_b.points_xyz)
@@ -166,12 +171,10 @@ def merge_components(
     f2p_b = map_b[jnp.clip(state_b.feat_to_point, 0)]
     f2p_b = jnp.where(state_b.feat_to_point >= 0, f2p_b, -1)
     feat_to_point = jnp.where(
-        state_b.camera_valid[:, None], f2p_b, state_a.feat_to_point
+        b_cams[:, None], f2p_b, state_a.feat_to_point
     )
 
-    cameras = jnp.where(
-        state_b.camera_valid[:, None], cam_b, state_a.cameras
-    )
+    cameras = jnp.where(b_cams[:, None], cam_b, state_a.cameras)
     return dataclasses.replace(
         state_a,
         points_xyz=points_xyz[:P],
@@ -180,6 +183,6 @@ def merge_components(
         track_feat=track_feat[:P],
         feat_to_point=feat_to_point,
         cameras=cameras,
-        camera_valid=state_a.camera_valid | state_b.camera_valid,
+        camera_valid=state_a.camera_valid | b_cams,
         n_points=state_a.n_points + jnp.sum(in_cap.astype(jnp.int32)),
     )

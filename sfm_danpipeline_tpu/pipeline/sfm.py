@@ -135,6 +135,10 @@ class SfMResult:
     colors: np.ndarray  # (N, 3)
     registered_views: List[int]
     metrics: Dict[str, float]
+    # Baseline-pair match endpoints for visualization (xy_a, xy_b, valid) —
+    # feeds utils/viz.draw_matches, the artifact form of the reference's
+    # "Matching pairs" window (src/Sfm.cpp:505-531).
+    baseline_matches: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
 
 
 def _keypoint_colors(images: ImageBatch, kp: Keypoints) -> jnp.ndarray:
@@ -225,6 +229,29 @@ class SfMPipeline:
         )
         colors = _keypoint_colors(images, kp)
 
+        # Lens-distortion canonicalization: undistort every keypoint ONCE
+        # into ideal pinhole pixels, then run the entire pipeline (epipolar,
+        # PnP, triangulation gates, BA residuals) distortion-free. This is
+        # exactly equivalent to applying the reference's distCoef model at
+        # every reprojection (cv::projectPoints, src/Sfm.cpp:840,847) but
+        # pays the 5-coefficient model once per keypoint instead of once per
+        # reprojection in the LM hot loop. Colors were sampled above at the
+        # RAW detections (the images are distorted).
+        if bool(np.any(np.asarray(intrinsics.dist) != 0.0)):
+            from sfm_danpipeline_tpu.ops.projection import undistort_points
+
+            xn = undistort_points(kp.xy, K, dist)
+            ideal = jnp.stack(
+                [
+                    xn[..., 0] * K[0, 0] + K[0, 2],
+                    xn[..., 1] * K[1, 1] + K[1, 2],
+                ],
+                axis=-1,
+            )
+            kp = dataclasses.replace(kp, xy=ideal)
+            dist = jnp.zeros_like(dist)
+            log.info("distortion: keypoints canonicalized to ideal pixels")
+
         # 2. All-pairs matching (HOT LOOP #1, src/Sfm.cpp:509-583);
         # "flow" selects the reference's LK alternative (src/Sfm.cpp:1399).
         t0 = time.time()
@@ -252,7 +279,10 @@ class SfMPipeline:
         else:
             # One pass at the looser registration ratio; each match carries
             # its actual Lowe ratio so the strict reference set (0.8) is a
-            # mask away (PairMatches.at_ratio).
+            # mask away (PairMatches.at_ratio). strict_ratio biases the
+            # fixed match budget so loose-only matches never evict strict
+            # ones. On TPU the top-2 search runs the Pallas kernel
+            # (VMEM-resident distance tiles, no HBM K_a x K_b matrix).
             loose = max(cfg.matching.ratio, cfg.matching.registration_ratio)
             matches = match_all_pairs(
                 kp.descriptors,
@@ -261,6 +291,8 @@ class SfMPipeline:
                 jnp.asarray(pj),
                 ratio=loose,
                 max_matches=cfg.matching.max_matches,
+                use_pallas=jax.default_backend() == "tpu",
+                strict_ratio=cfg.matching.ratio,
             )
         jax.block_until_ready(matches.idx_a)
         metrics["t_matching"] = time.time() - t0
@@ -292,6 +324,11 @@ class SfMPipeline:
             V, cfg.features.max_keypoints, cfg.max_points, intrinsics.fx
         )
         one_match = jax.tree_util.tree_map(lambda a: a[bp], strict)
+        baseline_matches = (
+            np.asarray(kp.xy[vi][one_match.idx_a]),
+            np.asarray(kp.xy[vj][one_match.idx_b]),
+            np.asarray(one_match.valid),
+        )
         state, ok = bootstrap_pair(
             k_boot, state, one_match, kp.xy, colors, vi, vj, K, dist, cfg
         )
@@ -466,6 +503,7 @@ class SfMPipeline:
             colors=cols,
             registered_views=sorted(done),
             metrics=metrics,
+            baseline_matches=baseline_matches,
         )
 
     # ------------------------------------------------------------------

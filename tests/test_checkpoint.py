@@ -80,16 +80,23 @@ class TestCLIResume:
         without redoing SfM (the reference couples stages only through
         MAP3D.pcd on disk, src/Segmentation.cpp:8 — this is the equivalent
         resume affordance)."""
+        import pytest
+
         from sfm_danpipeline_tpu.cli import main
 
+        TEMPLE_DIR = "/root/reference/data/temple"
+        TEMPLE_CALIB = os.path.join(
+            TEMPLE_DIR, "camera_calibration_template.xml"
+        )
+        if not os.path.exists(TEMPLE_CALIB):
+            pytest.skip("temple dataset not available")
         state = _toy_state(P=256, V=4, K=64)
         ckpt = str(tmp_path / "state.npz")
         save_state(ckpt, state)
         out = str(tmp_path / "out")
         rc = main([
-            "--images", "/root/reference/data/temple",
-            "--calibration",
-            "/root/reference/data/temple/camera_calibration_template.xml",
+            "--images", TEMPLE_DIR,
+            "--calibration", TEMPLE_CALIB,
             "--output", out,
             "--stages", "dendrometry",
             "--checkpoint", ckpt,
