@@ -5,10 +5,17 @@ Headline metric: temple-sequence end-to-end frames/s (full incremental SfM:
 features -> all-pairs matching -> baseline -> incremental PnP+triangulation
 + per-view BA -> final BA), steady-state (second run, compile cached).
 
+QUALITY-GATED: the metric is ZERO unless the reconstruction is correct —
+all views registered, BA RMS < 1 px, the camera arc coherent, and (when a
+gold trajectory is committed) ATE within tolerance. A fast run that loses
+views must never look like a win (the reference's only verification
+affordance is a correct full reconstruction of data/temple, README.md:43-45).
+
 `vs_baseline` compares against the nominal reference estimate recorded in
 BASELINE.md (the reference publishes no numbers; 0.5 frames/s is the
 documented order-of-magnitude estimate for the OpenCV/Ceres CPU pipeline on
-the same 10-image dataset). Stage timings go to stderr.
+the same 10-image dataset). Stage timings and gate detail go to stderr and
+into the JSON line's "extra" field.
 """
 import json
 import os
@@ -20,7 +27,55 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
 
 TEMPLE = "/root/reference/data/temple"
 CALIB = os.path.join(TEMPLE, "camera_calibration_template.xml")
+GOLD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "bench_gold_trajectory.json")
 NOMINAL_REFERENCE_FPS = 0.5  # see BASELINE.md "nominal reference estimate"
+ATE_TOLERANCE = 0.05  # fraction of trajectory diameter
+
+
+def check_gates(res, n_images):
+    """Quality gates; returns (ok, dict of gate -> pass/fail detail)."""
+    import numpy as np
+
+    from sfm_danpipeline_tpu.utils.metrics import (
+        aligned_rmse,
+        camera_centers,
+    )
+
+    gates = {}
+    m = res.metrics
+    gates["registered_all"] = bool(m.get("n_registered", 0) == n_images)
+    gates["rms_lt_1px"] = bool(m.get("ba_rms_px", 99.0) < 1.0)
+    gates["points_ge_1000"] = bool(m.get("n_points", 0) >= 1000)
+    # Merge quality: fused cross-component tracks must exist and reproject
+    # tightly — the invariant a wrong-scale Sim(3) cannot fake. Applies
+    # only when a merge happened (a future direct-bridged run skips it).
+    if m.get("n_merged_components", 0) > 0:
+        gates["cross_tracks_ge_20"] = bool(m.get("n_cross_tracks", 0) >= 20)
+        gates["cross_med_lt_4px"] = bool(
+            m.get("merge_cross_med_px", 99.0) < 4.0
+        )
+    # Global geometry: Middlebury temple cameras sit on a hemisphere around
+    # the object — all centers near-equidistant from the cloud centroid.
+    # (Consecutive gaps are NOT uniform: the capture order jumps arcs at
+    # 5->6, so an equidistant-arc check would be wrong; r3 verified.)
+    regs = sorted(res.registered_views)
+    centers = camera_centers(np.asarray(res.state.cameras))[regs]
+    centroid = res.points.mean(axis=0)
+    r = np.linalg.norm(centers - centroid, axis=1)
+    gates["camera_sphere"] = bool(
+        len(r) >= 2 and r.min() > 0 and r.max() / r.min() < 1.35
+    )
+    # ATE vs the committed gold trajectory (BASELINE.json's stated metric).
+    ate = None
+    if os.path.exists(GOLD) and gates["registered_all"]:
+        with open(GOLD) as f:
+            gold = np.asarray(json.load(f)["centers"], np.float64)
+        ate = aligned_rmse(centers, gold)
+        diam = float(np.linalg.norm(gold.max(0) - gold.min(0)))
+        gates["ate_ok"] = bool(ate < ATE_TOLERANCE * diam)
+    ok = all(gates.values())
+    return ok, gates, ate
 
 
 def main():
@@ -55,28 +110,54 @@ def main():
                     raise
                 time.sleep(5)
 
-    # Warmup (pays XLA compiles; the axon path has no persistent cache).
+    # Warmup (pays XLA compiles).
     res, warm = run_with_retry("warmup")
     print(f"bench: warmup run {warm:.1f}s", file=sys.stderr)
 
     # Steady-state.
     res, steady = run_with_retry("steady")
     fps = images.n_images / steady
+    ok, gates, ate = check_gates(res, images.n_images)
     for k, v in sorted(res.metrics.items()):
         print(f"bench:   {k}: {v}", file=sys.stderr)
+    for k, v in sorted(gates.items()):
+        print(f"bench:   gate {k}: {'PASS' if v else 'FAIL'}", file=sys.stderr)
+    if ate is not None:
+        print(f"bench:   ate: {ate:.5f}", file=sys.stderr)
     print(
         f"bench: steady run {steady:.1f}s -> {fps:.3f} frames/s, "
-        f"{res.metrics['n_points']} pts, RMS {res.metrics['ba_rms_px']:.3f}px",
+        f"{res.metrics['n_points']} pts, RMS {res.metrics['ba_rms_px']:.3f}px"
+        f" — gates {'PASS' if ok else 'FAIL'}",
         file=sys.stderr,
     )
 
+    m = res.metrics
+    t_ba = max(m.get("t_final_ba", 0.0), 1e-9)
+    extra = {
+        "gates": gates,
+        "warmup_s": round(warm, 2),
+        "steady_s": round(steady, 2),
+        "ate": None if ate is None else round(ate, 5),
+        "ba_iters_per_s": round(m.get("ba_iterations", 0) / t_ba, 2),
+        "ba_rms_px": round(m.get("ba_rms_px", -1.0), 4),
+        "n_registered": int(m.get("n_registered", 0)),
+        "n_points": int(m.get("n_points", 0)),
+        "n_keypoints_mean": round(m.get("n_keypoints_mean", 0.0), 1),
+        "stage_ms": {
+            k[2:]: round(1000.0 * v, 1)
+            for k, v in sorted(m.items())
+            if k.startswith("t_")
+        },
+    }
+    value = round(fps, 4) if ok else 0.0
     print(
         json.dumps(
             {
                 "metric": "temple_end_to_end_frames_per_s",
-                "value": round(fps, 4),
+                "value": value,
                 "unit": "frames/s",
-                "vs_baseline": round(fps / NOMINAL_REFERENCE_FPS, 3),
+                "vs_baseline": round(value / NOMINAL_REFERENCE_FPS, 3),
+                "extra": extra,
             }
         )
     )

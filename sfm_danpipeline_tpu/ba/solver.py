@@ -208,8 +208,15 @@ def run_ba(
     problem: BAProblem,
     config: BAConfig = BAConfig(),
     axis_name: str | None = None,
+    max_iterations: jnp.ndarray | None = None,
 ) -> BAResult:
     """LM loop (lax.while_loop): assemble -> Schur solve -> accept/reject.
+
+    `max_iterations` (optional, TRACED) overrides config.max_iterations:
+    the incremental pipeline runs the same compiled program with a short
+    per-view budget and a long final budget — a static budget would compile
+    the whole Schur-LM graph once per distinct value (2x the BA share of
+    the 409 s r2 TPU warmup).
 
     With `axis_name` set (inside shard_map over a mesh axis), the problem's
     observation arrays are the LOCAL shard: normal-equation blocks and costs
@@ -276,9 +283,15 @@ def run_ba(
         ) | (lam >= config.max_lambda)
         return cameras, focal, points, lam, cur_cost, it + 1, done
 
+    iter_budget = (
+        jnp.asarray(config.max_iterations, jnp.int32)
+        if max_iterations is None
+        else jnp.asarray(max_iterations, jnp.int32)
+    )
+
     def cond(state):
         *_, it, done = state
-        return (~done) & (it < config.max_iterations)
+        return (~done) & (it < iter_budget)
 
     init = (
         problem.cameras,

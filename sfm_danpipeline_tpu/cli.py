@@ -141,7 +141,9 @@ def main(argv=None) -> int:
         from sfm_danpipeline_tpu.pipeline.sfm import SfMPipeline
 
         with timer.stage("sfm"):
-            res = SfMPipeline(cfg).run(
+            # checkpoint_path enables per-view mid-run checkpointing AND
+            # auto-resume from a previous kill (SURVEY.md §5).
+            res = SfMPipeline(cfg, checkpoint_path=args.checkpoint).run(
                 images, intrinsics,
                 run_ba_every_view=not args.no_ba_every_view,
             )
@@ -157,11 +159,14 @@ def main(argv=None) -> int:
             vdir = os.path.join(args.output, "viz")
             os.makedirs(vdir, exist_ok=True)
             kp = res.keypoints
+            # Raw detections align with the raw (possibly distorted)
+            # images; kp.xy is canonicalized to ideal pixels (ADVICE r2).
+            draw_xy = res.raw_xy if res.raw_xy is not None else np.asarray(kp.xy)
             for i in range(images.n_images):
                 viz.draw_keypoints(
                     os.path.join(vdir, f"keypoints_{i:04d}.png"),
                     np.asarray(images.color[i]),
-                    np.asarray(kp.xy[i]),
+                    draw_xy[i],
                     np.asarray(kp.valid[i]),
                 )
             if res.baseline_matches is not None:
@@ -264,7 +269,11 @@ def main(argv=None) -> int:
         diag = float(np.linalg.norm(points.max(0) - points.min(0)))
         radius, min_nb = cfg.analysis.outlier_radius, cfg.analysis.outlier_min_neighbors
         m = radius_outlier_mask(pts_j, valid, radius, min_nb)
-        if float(_jnp.sum(m)) < 0.05 * n0:
+        # Fallback trigger compares against the PassThrough-surviving count,
+        # not the pre-filter total — otherwise a legitimately aggressive
+        # PassThrough conflates the two filters (ADVICE r2).
+        n_pass = float(_jnp.sum(valid))
+        if float(_jnp.sum(m)) < 0.05 * n_pass:
             radius, min_nb = 0.01 * diag, 3
             m = radius_outlier_mask(pts_j, valid, radius, min_nb)
             log.warning(

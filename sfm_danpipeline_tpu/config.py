@@ -107,6 +107,19 @@ class GeometryConfig:
     pnp_min_inliers: int = 12
     # Point-merge radius during incremental growth (reference src/Sfm.cpp:1216: 0.01).
     merge_distance: float = 0.01
+    # Minimum median triangulation angle (deg) for a two-view SEED
+    # reconstruction. Rejects degenerate low-parallax interpretations
+    # (narrow-FOV rotation/translation ambiguity: the spurious basin
+    # triangulates a cone of rays at ~0.1 deg parallax). The reference has
+    # no guard (cv::recoverPose's answer is trusted, src/Sfm.cpp:755);
+    # COLMAP's analogue defaults to 16 deg — we use a permissive 1.5 deg
+    # because third-view validation (pipeline/sfm.py) is the decisive test.
+    min_seed_triangulation_angle_deg: float = 1.5
+    # Post-merge acceptance: median reprojection error (px) of the merged
+    # component's observations through the transformed cameras. A Sim(3)
+    # with enough 3D-3D inliers can still be wrong-scale; reprojection
+    # through the merged cameras is the decisive check.
+    max_merge_reprojection_px: float = 8.0
     # RANSAC determinism: base PRNG seed (reference relies on OpenCV's RNG; we fix keys
     # for bitwise reproducibility per SURVEY.md §5 "race detection" note).
     seed: int = 0

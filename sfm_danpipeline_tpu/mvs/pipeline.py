@@ -62,11 +62,28 @@ def densify(
     scale = 0.5 ** config.level
     H = images.shape[0] >> config.level
     W = images.shape[1] >> config.level
-    gray = _downsample(jnp.asarray(images.gray)[:, : H << config.level, : W << config.level], config.level)
+    gray_full = jnp.asarray(images.gray)
+    color_full = jnp.asarray(images.color)
+    # SfM poses/points live in the ideal-pinhole gauge (keypoints are
+    # canonicalized up front, pipeline/sfm.py); with nonzero distortion the
+    # sweep must sample undistorted images or photo-consistency reads the
+    # wrong pixels (ADVICE r2). One remap per image, then pinhole-only math.
+    if bool(np.any(np.asarray(intrinsics.dist) != 0.0)):
+        from sfm_danpipeline_tpu.ops.projection import undistort_image
+
+        K_full = jnp.asarray(intrinsics.K, jnp.float32)
+        dist_j = jnp.asarray(intrinsics.dist, jnp.float32)
+        gray_full = jax.vmap(
+            lambda im: undistort_image(im, K_full, dist_j)
+        )(gray_full)
+        color_full = jax.vmap(
+            lambda im: undistort_image(im, K_full, dist_j)
+        )(color_full)
+    gray = _downsample(gray_full[:, : H << config.level, : W << config.level], config.level)
     color = jnp.stack(
         [
             _downsample(
-                jnp.asarray(images.color)[:, : H << config.level, : W << config.level, c],
+                color_full[:, : H << config.level, : W << config.level, c],
                 config.level,
             )
             for c in range(3)

@@ -200,31 +200,30 @@ def _cheirality_counts(
     return jax.vmap(count)(Rs, ts)
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses", "min_points"))
-def estimate_relative_pose(
-    key: jax.Array,
-    x1: jnp.ndarray,
-    x2: jnp.ndarray,
-    valid: jnp.ndarray,
-    focal: float | jnp.ndarray,
-    threshold_px: float = 1.0,
-    n_hypotheses: int = 512,
-    min_points: int = 8,
-) -> RelativePose:
-    """Full two-view pose: RANSAC essential + refit + cheirality recoverPose.
+def rotation_angle_between(Ra: jnp.ndarray, Rb: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic angle (radians) between two rotations."""
+    c = (jnp.trace(Ra @ Rb.T) - 1.0) * 0.5
+    return jnp.arccos(jnp.clip(c, -1.0, 1.0))
 
-    x1, x2: (M, 2) *normalized* coordinates; valid: (M,) match mask; focal
-    converts the pixel threshold into normalized units (thr_n = thr_px / f,
-    matching cv::findEssentialMat's internal normalization of its 1.0 px
-    threshold, src/Sfm.cpp:542).
-    """
-    thr_n2 = (threshold_px / focal) ** 2
-    # Refit on a widened consensus band (LO-RANSAC style): real SIFT matches
-    # drift 1-2 px under viewpoint change, so the strict 1 px consensus set
-    # is small (~tens) and a refit on it alone is noisy. Scoring stays at the
-    # reference's 1 px (model selection), the least-squares polish uses the
-    # 2.5x band (~hundreds of matches) for a stable E.
-    refit_n2 = (2.5 * threshold_px / focal) ** 2
+
+# Basin separation (radians): two poses whose rotations differ by more than
+# this are treated as distinct interpretations of the epipolar geometry.
+# Narrow-FOV turntable pairs (the temple set: ~12 deg of object on a
+# f=1520px/640px sensor) admit TWO Sampson-near-equivalent interpretations —
+# the true one (R ~ 5 deg, scene at ~12 baselines) and a spurious
+# near-pure-translation one (R ~ 0.5 deg, scene at ~300 baselines, a cone of
+# rays). Pairwise scores CANNOT reliably rank them (measured on temple pair
+# (6,7): the wrong basin wins MSAC with every key); disambiguation needs a
+# third view, so the estimator exposes both basins to the caller.
+_BASIN_SEP = 0.035  # ~2 degrees
+
+
+def _pose_search(
+    key, x1, x2, valid, refit_n2, n_hypotheses, n_alternatives=64
+):
+    """Shared RANSAC head: hypotheses, MSAC scores, cheirality-ranked winner,
+    Sampson polish with cheirality acceptance — plus the raw model pool for
+    basin mining. Returns a dict of intermediates."""
 
     def fit(idx):
         return _essential_from_eight(x1[idx], x2[idx])
@@ -249,21 +248,20 @@ def estimate_relative_pose(
 
     M1 = x1.shape[0] + 1  # lexicographic rank base: front-count dominates
 
-    def eval_candidate(h):
-        E_h = models[top[h]]
-        band_h = (res[top[h]] < refit_n2) & valid
+    def eval_candidate(E_h, band_h):
         Rs_h, ts_h = decompose_essential(E_h)
         near_h, front_h = _cheirality_counts(Rs_h, ts_h, x1, x2, band_h)
         rank_h = front_h * M1 + near_h
         b = jnp.argmax(rank_h)
-        return rank_h[b], front_h[b], Rs_h[b], ts_h[b], band_h
+        return rank_h[b], front_h[b], Rs_h[b], ts_h[b]
 
-    ranks, fronts, Rs_c, ts_c, bands_c = jax.vmap(eval_candidate)(
-        jnp.arange(T)
+    bands_t = (res[top] < refit_n2) & valid[None, :]
+    ranks, fronts, Rs_c, ts_c = jax.vmap(eval_candidate)(
+        models[top], bands_t
     )
     pick = jnp.argmax(ranks)
     R0, t0 = Rs_c[pick], ts_c[pick]
-    band0 = bands_c[pick]
+    band0 = bands_t[pick]
     unref_front0 = fronts[pick]
 
     R, t, band = R0, t0, band0
@@ -281,16 +279,147 @@ def estimate_relative_pose(
     near2, front2 = _cheirality_counts(Rs2, ts2, x1, x2, band)
     best2 = jnp.argmax(front2 * M1 + near2)
     refined_front = front2[best2]
-    unref_front = unref_front0
     n_ref = jnp.sum(band)
     # Accept the refinement only when its in-front fraction is healthy.
     use_refined = refined_front >= (n_ref + 1) // 2
-    R = jnp.where(use_refined, Rs2[best2], R0)
-    t = jnp.where(use_refined, ts2[best2], t0)
-    inliers = jnp.where(use_refined, band, band0)
+    R_a = jnp.where(use_refined, Rs2[best2], R0)
+    t_a = jnp.where(use_refined, ts2[best2], t0)
+    band_a = jnp.where(use_refined, band, band0)
+    front_a = jnp.where(use_refined, refined_front, unref_front0)
+    return dict(
+        models=models, scores=scores, res=res, M1=M1,
+        R0=R0, t0=t0, band0=band0, front0=unref_front0,
+        R=R_a, t=t_a, band=band_a, front=front_a,
+        eval_candidate=eval_candidate,
+    )
+
+
+def _finish(R, t, band, front, min_points):
     E = essential_from_pose(R, t)
-    n_in = jnp.sum(inliers)
-    front = jnp.where(use_refined, refined_front, unref_front)
+    n_in = jnp.sum(band)
     det_ok = jnp.abs(jnp.abs(jnp.linalg.det(R)) - 1.0) < 1e-4
     ok = det_ok & (n_in >= min_points) & (front >= n_in // 2)
-    return RelativePose(R=R, t=t, E=E, inliers=inliers, n_inliers=n_in, ok=ok)
+    return RelativePose(
+        R=R, t=t, E=E, inliers=band, n_inliers=n_in, ok=ok
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses", "min_points"))
+def estimate_relative_pose(
+    key: jax.Array,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    valid: jnp.ndarray,
+    focal: float | jnp.ndarray,
+    threshold_px: float = 1.0,
+    n_hypotheses: int = 512,
+    min_points: int = 8,
+) -> RelativePose:
+    """Full two-view pose: RANSAC essential + refit + cheirality recoverPose.
+
+    x1, x2: (M, 2) *normalized* coordinates; valid: (M,) match mask; focal
+    converts the pixel threshold into normalized units (thr_n = thr_px / f,
+    matching cv::findEssentialMat's internal normalization of its 1.0 px
+    threshold, src/Sfm.cpp:542).
+    """
+    # Refit on a widened consensus band (LO-RANSAC style): real SIFT matches
+    # drift 1-2 px under viewpoint change, so the strict 1 px consensus set
+    # is small (~tens) and a refit on it alone is noisy. Scoring stays at the
+    # reference's 1 px (model selection), the least-squares polish uses the
+    # 2.5x band (~hundreds of matches) for a stable E.
+    refit_n2 = (2.5 * threshold_px / focal) ** 2
+    s = _pose_search(key, x1, x2, valid, refit_n2, n_hypotheses)
+    return _finish(s["R"], s["t"], s["band"], s["front"], min_points)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses", "min_points"))
+def estimate_relative_pose_basins(
+    key: jax.Array,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    valid: jnp.ndarray,
+    focal: float | jnp.ndarray,
+    threshold_px: float = 1.0,
+    n_hypotheses: int = 512,
+    min_points: int = 8,
+) -> RelativePose:
+    """Two basin-diverse pose candidates, stacked on a leading axis (2, ...).
+
+    Candidate 0 is `estimate_relative_pose`'s answer. Candidate 1 is the
+    best pose whose rotation lies in a DIFFERENT basin (geodesic distance
+    > ~2 deg from candidate 0): if the Sampson polish jumped basins, the
+    unpolished RANSAC winner; otherwise the best-MSAC alternative among the
+    hypothesis pool, polished with a basin guard (the polish result is kept
+    only if it stays in its own basin — the spurious basin often has
+    strictly lower Sampson cost, so an unguarded polish would collapse both
+    candidates onto it).
+
+    Callers (pipeline/bootstrap.py) disambiguate by third-view support: the
+    true interpretation lets another view PnP-register against the
+    triangulated cloud; the spurious one (a cone of rays) does not. This is
+    capability the reference lacks — cv::recoverPose returns one pose and
+    the reference trusts it (src/Sfm.cpp:755), which silently corrupts the
+    map on exactly these pairs.
+    """
+    refit_n2 = (2.5 * threshold_px / focal) ** 2
+    s = _pose_search(key, x1, x2, valid, refit_n2, n_hypotheses)
+    R_a, t_a = s["R"], s["t"]
+    models, scores, res = s["models"], s["scores"], s["res"]
+
+    # --- Candidate B.
+    # Did the polish jump basins? Then the pre-polish winner IS basin 2.
+    jumped = rotation_angle_between(R_a, s["R0"]) > _BASIN_SEP
+
+    # Mine the hypothesis pool for the best-MSAC model in another basin.
+    # Cheap basin test per model: geodesic distance of its two distinct
+    # decomposition rotations to R_a (the +-t pairs share rotations).
+    def rot_dist(E):
+        Rs, _ = decompose_essential(E)
+        da = rotation_angle_between(Rs[0], R_a)
+        db = rotation_angle_between(Rs[2], R_a)
+        return jnp.minimum(da, db)
+
+    A = 8  # alternatives given the full cheirality treatment
+    dists = jax.vmap(rot_dist)(models)
+    alt_scores = jnp.where(dists > _BASIN_SEP, scores, jnp.inf)
+    _, alt_top = jax.lax.top_k(-alt_scores, A)
+    bands_alt = (res[alt_top] < refit_n2) & valid[None, :]
+    ranks_alt, fronts_alt, Rs_alt, ts_alt = jax.vmap(s["eval_candidate"])(
+        models[alt_top], bands_alt
+    )
+    ranks_alt = jnp.where(
+        jnp.isfinite(alt_scores[alt_top]), ranks_alt, -1
+    )
+    pick_alt = jnp.argmax(ranks_alt)
+    has_alt = ranks_alt[pick_alt] >= 0
+
+    R_b0 = jnp.where(jumped, s["R0"], Rs_alt[pick_alt])
+    t_b0 = jnp.where(jumped, s["t0"], ts_alt[pick_alt])
+    band_b0 = jnp.where(jumped, s["band0"], bands_alt[pick_alt])
+    front_b0 = jnp.where(jumped, s["front0"], fronts_alt[pick_alt])
+    usable_b = jumped | has_alt
+
+    # Basin-guarded polish of B.
+    R_b, t_b, band_b = R_b0, t_b0, band_b0
+    for _ in range(2):
+        R_b, t_b = _refine_pose_sampson(
+            R_b, t_b, x1, x2, band_b.astype(x1.dtype)
+        )
+        E_b = essential_from_pose(R_b, t_b)
+        band_b = (sampson_distance(E_b, x1, x2) < refit_n2) & valid
+    stayed = rotation_angle_between(R_b, R_a) > _BASIN_SEP
+    Rs_b2, ts_b2 = decompose_essential(essential_from_pose(R_b, t_b))
+    near_b2, front_b2 = _cheirality_counts(Rs_b2, ts_b2, x1, x2, band_b)
+    best_b2 = jnp.argmax(front_b2 * s["M1"] + near_b2)
+    keep_pol = stayed & (front_b2[best_b2] >= (jnp.sum(band_b) + 1) // 2)
+    R_b = jnp.where(keep_pol, Rs_b2[best_b2], R_b0)
+    t_b = jnp.where(keep_pol, ts_b2[best_b2], t_b0)
+    band_b = jnp.where(keep_pol, band_b, band_b0)
+    front_b = jnp.where(keep_pol, front_b2[best_b2], front_b0)
+
+    cand_a = _finish(R_a, t_a, s["band"], s["front"], min_points)
+    cand_b = _finish(R_b, t_b, band_b, front_b, min_points)
+    cand_b = cand_b._replace(ok=cand_b.ok & usable_b)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), cand_a, cand_b
+    )

@@ -92,6 +92,39 @@ def undistort_points(
     return jnp.stack([x, y], axis=-1)
 
 
+def undistort_image(
+    img: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray
+) -> jnp.ndarray:
+    """Resample a distorted image onto the ideal pinhole grid (the image
+    analogue of undistort_points; cv::undistort semantics).
+
+    img: (H, W) or (H, W, C). For each ideal pixel, the forward distortion
+    model locates its source in the raw image; bilinear sample. Keeps the
+    same K. Used by the dense stage so plane-sweep photo-consistency agrees
+    with the keypoint canonicalization (pipeline/sfm.py) when dist != 0.
+    """
+    from sfm_danpipeline_tpu.ops.interp import bilinear_sample
+
+    H, W = img.shape[:2]
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    u, v = jnp.meshgrid(
+        jnp.arange(W, dtype=jnp.float32),
+        jnp.arange(H, dtype=jnp.float32),
+        indexing="xy",
+    )
+    xn = jnp.stack([(u - cx) / fx, (v - cy) / fy], axis=-1)
+    xd = distort_normalized(xn, dist)
+    us = xd[..., 0] * fx + cx
+    vs = xd[..., 1] * fy + cy
+    if img.ndim == 2:
+        return bilinear_sample(img, us, vs)
+    return jnp.stack(
+        [bilinear_sample(img[..., c], us, vs) for c in range(img.shape[-1])],
+        axis=-1,
+    )
+
+
 def reprojection_error(
     X: jnp.ndarray,
     obs: jnp.ndarray,

@@ -19,11 +19,11 @@ edgeThreshold=10, sigma=1.6) as a from-scratch, fixed-shape JAX program:
  - Descriptor: 4x4x8 trilinear-binned gradient histogram sampled on a fixed
    16x16 rotated grid, L2-normalized, 0.2-clipped, renormalized.
 
-Design notes vs OpenCV: candidate relocation iterations are replaced by a
-single masked Newton step (rejecting |offset| > 0.6 instead of re-walking),
-and only the dominant orientation is emitted per keypoint (OpenCV may emit
-extra keypoints at secondary peaks >= 0.8 * max). Both divergences trade a
-few extra/fewer keypoints for fully static shapes.
+Design notes vs OpenCV: candidate relocation is a fixed 3-iteration masked
+Newton re-walk (OpenCV walks up to 5); secondary-orientation keypoints
+(peaks >= 0.8 * max) are emitted like OpenCV's, as a masked duplicate row
+per candidate. Detection and description are SPLIT so only candidates that
+survive per-octave budget selection pay the orientation/descriptor gathers.
 """
 from __future__ import annotations
 
@@ -163,18 +163,17 @@ def _extrema_response(dog: jnp.ndarray, config: FeatureConfig) -> jnp.ndarray:
     return jnp.where(is_ext, jnp.abs(inner), 0.0)
 
 
-def _refine_candidates(
+def _newton_step(
     dog: jnp.ndarray,
     s: jnp.ndarray,
     y: jnp.ndarray,
     x: jnp.ndarray,
     config: FeatureConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Newton refinement of DoG extrema (Lowe 2004 §4; OpenCV
-    adjustLocalExtrema semantics with a single masked step).
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One 3x3x3 Newton solve at integer centers (Lowe 2004 §4).
 
     dog: (S+2, H, W); s indexes the *inner* levels (0..S-1 -> dog level s+1).
-    Returns (offset (K,3) [ds,dy,dx], contrast (K,), edge_ok (K,), conv_ok (K,)).
+    Returns (offset (K,3) [ds,dy,dx], contrast (K,), quality_ok (K,)).
     """
     cube = gather_cube(dog, s + 1, y, x)  # (K, 3, 3, 3) [ds, dy, dx]
     c = cube[:, 1, 1, 1]
@@ -207,9 +206,6 @@ def _refine_candidates(
     # Regularized solve; singular Hessians produce huge offsets -> rejected.
     eye = jnp.eye(3, dtype=dog.dtype) * 1e-6
     offset = -jnp.linalg.solve(Hmat + eye, g[..., None])[..., 0]
-    conv_ok = jnp.all(jnp.abs(offset) <= 0.6, axis=-1) & jnp.all(
-        jnp.isfinite(offset), axis=-1
-    )
     contrast = c + 0.5 * jnp.sum(g * offset, axis=-1)
     S = config.n_scales_per_octave
     contrast_ok = jnp.abs(contrast) * S >= config.contrast_threshold
@@ -218,7 +214,49 @@ def _refine_candidates(
     det = dxx * dyy - dyx * dyx
     r = config.edge_threshold
     edge_ok = (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
-    return offset, contrast, edge_ok & contrast_ok, conv_ok
+    return offset, contrast, edge_ok & contrast_ok
+
+
+def _refine_candidates(
+    dog: jnp.ndarray,
+    s: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    config: FeatureConfig,
+) -> Tuple[jnp.ndarray, ...]:
+    """Iterative Newton refinement with integer re-walk (the masked,
+    fixed-iteration form of OpenCV adjustLocalExtrema).
+
+    OpenCV relocates the integer candidate by the rounded offset while any
+    |offset| component exceeds 0.5 (up to 5 tries); round 1/2's single
+    masked step instead REJECTED every extremum whose true subpixel location
+    sits >0.6 px off-center — roughly a third of OpenCV's yield on the
+    temple images (n_keypoints_mean 695 vs OpenCV's 1.5-3k, the upstream
+    cause of the views-6-9 bridge starvation; reference detector call:
+    src/Sfm.cpp:315-320). Two re-walk steps recover nearly all of them.
+
+    Returns (s, y, x (relocated ints), offset (K,3), contrast, quality_ok,
+    conv_ok).
+    """
+    S = config.n_scales_per_octave
+    _, H, W = dog.shape
+    border = 5
+    for _ in range(2):
+        offset, _, _ = _newton_step(dog, s, y, x, config)
+        need = jnp.any(jnp.abs(offset) > 0.6, axis=-1) & jnp.all(
+            jnp.isfinite(offset), axis=-1
+        )
+        ds = jnp.clip(jnp.round(offset[:, 0]), -1, 1).astype(jnp.int32)
+        dy = jnp.clip(jnp.round(offset[:, 1]), -1, 1).astype(jnp.int32)
+        dx = jnp.clip(jnp.round(offset[:, 2]), -1, 1).astype(jnp.int32)
+        s = jnp.where(need, jnp.clip(s + ds, 0, S - 1), s)
+        y = jnp.where(need, jnp.clip(y + dy, border, H - 1 - border), y)
+        x = jnp.where(need, jnp.clip(x + dx, border, W - 1 - border), x)
+    offset, contrast, quality_ok = _newton_step(dog, s, y, x, config)
+    conv_ok = jnp.all(jnp.abs(offset) <= 0.6, axis=-1) & jnp.all(
+        jnp.isfinite(offset), axis=-1
+    )
+    return s, y, x, offset, contrast, quality_ok, conv_ok
 
 
 # ---------------------------------------------------------------------------
@@ -246,11 +284,16 @@ def _orientation(
     y: jnp.ndarray,
     sigma_oct: jnp.ndarray,
     config: FeatureConfig,
-) -> jnp.ndarray:
-    """Dominant gradient orientation per keypoint.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-2 gradient orientations per keypoint.
 
     gx, gy: (L, H, W) gradient stacks; x, y, sigma_oct: (K,) octave-relative
-    keypoint geometry. Returns angle (K,) in [0, 2pi).
+    keypoint geometry. Returns (angle1 (K,), angle2 (K,), has2 (K,)): the
+    dominant orientation, the best secondary local-max peak, and whether
+    that peak clears 0.8x the dominant one — OpenCV emits an extra keypoint
+    per such peak (calcOrientationHist, mag_thr = 0.8*maxval; the
+    reference's detector inherits this at src/Sfm.cpp:315-320), and round
+    1/2 dropped them, costing ~25-30%% of match density.
     """
     nbins = config.orientation_bins
     # Fixed 16x16 grid scaled by the keypoint's sigma (spacing ~0.56*sigma,
@@ -265,6 +308,18 @@ def _orientation(
     # Gaussian weight with sigma_w = 1.5*sigma over radius 4.5*sigma:
     # in normalized units exp(-(4.5 t)^2 / (2*1.5^2)) = exp(-4.5 t^2).
     w = jnp.where(t2 <= 1.0, jnp.exp(-4.5 * t2), 0.0)
+
+    def peak_angle(sm, peak):
+        lo = sm[(peak - 1) % nbins]
+        hi = sm[(peak + 1) % nbins]
+        ctr = sm[peak]
+        denom = lo - 2.0 * ctr + hi
+        interp = jnp.where(
+            jnp.abs(denom) > 1e-12, 0.5 * (lo - hi) / denom, 0.0
+        )
+        fpeak = (peak.astype(jnp.float32) + interp) % nbins
+        # Bin centers: bin b covers angle (-pi + 2pi*b/nbins).
+        return (fpeak / nbins) * 2.0 * jnp.pi - jnp.pi
 
     def per_kp(level_k, x_k, y_k, sig_k):
         rad = 4.5 * sig_k
@@ -286,16 +341,16 @@ def _orientation(
             kern[i] * jnp.roll(hist, i - 2) for i in range(5)
         )
         peak = jnp.argmax(sm)
-        lo = sm[(peak - 1) % nbins]
-        hi = sm[(peak + 1) % nbins]
-        ctr = sm[peak]
-        denom = lo - 2.0 * ctr + hi
-        interp = jnp.where(
-            jnp.abs(denom) > 1e-12, 0.5 * (lo - hi) / denom, 0.0
-        )
-        fpeak = (peak.astype(jnp.float32) + interp) % nbins
-        # Bin centers: bin b covers angle (-pi + 2pi*b/nbins).
-        return (fpeak / nbins) * 2.0 * jnp.pi - jnp.pi
+        # Secondary peak: best circular local max at least 2 bins away from
+        # the dominant one, qualifying at >= 0.8 * max (OpenCV semantics).
+        bins = jnp.arange(nbins)
+        is_local = (sm >= jnp.roll(sm, 1)) & (sm >= jnp.roll(sm, -1))
+        d = jnp.abs(bins - peak)
+        d = jnp.minimum(d, nbins - d)
+        sm2 = jnp.where(is_local & (d >= 2), sm, -jnp.inf)
+        peak2 = jnp.argmax(sm2)
+        has2 = sm2[peak2] >= 0.8 * sm[peak]
+        return peak_angle(sm, peak), peak_angle(sm, peak2), has2
 
     return jax.vmap(per_kp)(level, x, y, sigma_oct)
 
@@ -390,15 +445,17 @@ def _descriptors(
 
 def _detect_octave(
     gauss: jnp.ndarray,
-    octave_k: int,
     k_octave: int,
     config: FeatureConfig,
 ) -> Tuple[jnp.ndarray, ...]:
-    """Detect + describe up to k_octave keypoints in one octave.
+    """Detect (no description) up to k_octave refined extrema in one octave.
 
-    gauss: (S+3, H, W) octave Gaussian stack. Returns per-keypoint arrays in
-    *octave-local* coordinates plus validity; conversion to image coords
-    happens in the caller (which knows the octave scale factor).
+    gauss: (S+3, H, W) octave Gaussian stack. Returns per-candidate arrays
+    in *octave-local* coordinates: (x, y, glevel (int), sigma_oct,
+    |contrast|, valid). Description happens separately so that only
+    SELECTED candidates pay the orientation/descriptor gathers (round 2
+    described 4x2048 candidates per image to keep 2048 — the detect stage's
+    dominant cost at ~450 ms/image on TPU).
     """
     S = config.n_scales_per_octave
     _, H, W = gauss.shape
@@ -448,7 +505,7 @@ def _detect_octave(
     xx = jnp.clip(xx, 0, W - 1)
     cand_ok = vals > 0.0
 
-    offset, contrast, quality_ok, conv_ok = _refine_candidates(
+    s, yy, xx, offset, contrast, quality_ok, conv_ok = _refine_candidates(
         dog, s, yy, xx, config
     )
     valid = cand_ok & quality_ok & conv_ok
@@ -459,16 +516,49 @@ def _detect_octave(
     # sigma0 * k^(s+1) (OpenCV: kpt scale uses (s + xi + 1) / nOctaveLayers).
     s_ref = s.astype(jnp.float32) + 1.0 + offset[:, 0]
     sigma_oct = config.sigma0 * (2.0 ** (s_ref / S))
-
-    gx, gy = _gradient_stacks(gauss[: S + 2])
     # Orientation/descriptor read the Gaussian level nearest the keypoint
     # scale: inner level s corresponds to gauss level s+1.
     glevel = jnp.clip(s + 1, 0, S + 1)
-    angle = _orientation(gx, gy, glevel, x_ref, y_ref, sigma_oct, config)
-    desc = _descriptors(
-        gx, gy, glevel, x_ref, y_ref, sigma_oct, angle, config
+    return x_ref, y_ref, glevel, sigma_oct, jnp.abs(contrast), valid
+
+
+def _describe_octave(
+    gauss: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    glevel: jnp.ndarray,
+    sigma_oct: jnp.ndarray,
+    resp: jnp.ndarray,
+    valid: jnp.ndarray,
+    config: FeatureConfig,
+) -> Tuple[jnp.ndarray, ...]:
+    """Orientation + descriptors for one octave's selected candidates.
+
+    Emits 2 rows per candidate — dominant orientation and (masked) the
+    secondary >= 0.8*max peak, OpenCV's multi-orientation semantics.
+    Returns octave-local (x2, y2, sigma2, angle2, resp2, desc2, valid2)
+    with leading dim 2*K.
+    """
+    S = config.n_scales_per_octave
+    gx, gy = _gradient_stacks(gauss[: S + 2])
+    ang1, ang2, has2 = _orientation(
+        gx, gy, glevel, x, y, sigma_oct, config
     )
-    return x_ref, y_ref, sigma_oct, angle, jnp.abs(contrast), desc, valid
+    angles = jnp.concatenate([ang1, ang2])
+    dup = lambda a: jnp.concatenate([a, a])  # noqa: E731
+    x2, y2, glevel2, sig2, resp2 = (
+        dup(x), dup(y), dup(glevel), dup(sigma_oct), dup(resp),
+    )
+    valid2 = jnp.concatenate([valid, valid & has2])
+    desc = _descriptors(gx, gy, glevel2, x2, y2, sig2, angles, config)
+    return x2, y2, sig2, angles, resp2, desc, valid2
+
+
+# Fraction of the keypoint budget detected per octave: fine scales carry
+# most stable SIFT keypoints; the tail octaves see few-pixel images.
+# (Measured on temple: the 4x4 block-NMS, not these budgets, is what binds
+# candidate counts — raising them changed yield by zero.)
+_OCTAVE_BUDGET = (0.5, 0.25, 0.125, 0.125)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -488,15 +578,19 @@ def _detect_impl(
     base = gaussian_blur(base, sigma_diff)
 
     per_octave: List[Tuple[jnp.ndarray, ...]] = []
-    k_oct = k_total  # detect up to k_total per octave, merge by response
     octave_input = base
     scale = first_scale
     for o in range(config.n_octaves):
         if min(octave_input.shape) < 16:
             break
+        frac = _OCTAVE_BUDGET[min(o, len(_OCTAVE_BUDGET) - 1)]
+        k_oct = max(64, int(k_total * frac))
         gauss = build_gaussian_octave(octave_input, config)
-        x, y, sig, ang, resp, desc, valid = _detect_octave(
-            gauss, o, k_oct, config
+        x, y, glevel, sig, resp, valid = _detect_octave(
+            gauss, k_oct, config
+        )
+        x, y, sig, ang, resp, desc, valid = _describe_octave(
+            gauss, x, y, glevel, sig, resp, valid, config
         )
         per_octave.append(
             (

@@ -69,6 +69,77 @@ def umeyama(
     return Sim3(s=s, R=R, t=t)
 
 
+@functools.partial(jax.jit, static_argnames=("n_hypotheses", "min_inliers"))
+def estimate_sim3_reproj_ransac(
+    key: jax.Array,
+    X: jnp.ndarray,  # (M, 3) source points (component B frame)
+    Y: jnp.ndarray,  # (M, 3) target points (component A frame)
+    cams: jnp.ndarray,  # (M, 6) per-pair A-frame camera (angle-axis+t)
+    obs_xy: jnp.ndarray,  # (M, 2) pixel observation in that camera
+    K: jnp.ndarray,  # (3, 3)
+    valid: jnp.ndarray,  # (M,)
+    threshold_px: float | jnp.ndarray,
+    n_hypotheses: int = 4096,
+    min_inliers: int = 8,
+) -> Sim3Result:
+    """Sim(3) RANSAC scored by 2D reprojection instead of 3D-3D distance.
+
+    Hypotheses are still 3-point Umeyama fits on (X, Y) pairs, but support
+    is counted by projecting s R X + t through each pair's A-frame camera
+    and comparing with the observed pixel — the criterion that actually
+    matters for the merge. 3D-3D distance scoring is weak exactly when the
+    components disagree: B's point depths along the (few, outlier-heavy)
+    cross-component tracks are the noisiest coordinate, so a wrong-scale
+    alignment can collect a spurious 3D consensus (VERDICT r2: temple merge
+    at 10.8x the true camera gap passed with 3D inliers). Reprojection
+    into A's views exposes it immediately.
+    """
+    from sfm_danpipeline_tpu.ops.lie import exp_so3
+
+    Rc = exp_so3(cams[:, :3])  # (M, 3, 3)
+    tc = cams[:, 3:]
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+
+    def reproj_err(model):
+        R = model[:9].reshape(3, 3)
+        t = model[9:12]
+        s = model[12]
+        Xw = s * (X @ R.T) + t  # (M, 3) in A frame
+        cam = jnp.einsum("mij,mj->mi", Rc, Xw) + tc
+        z = jnp.where(jnp.abs(cam[:, 2]) < 1e-9, 1e-9, cam[:, 2])
+        u = cam[:, 0] / z * fx + cx
+        v = cam[:, 1] / z * fy + cy
+        r = jnp.sqrt((u - obs_xy[:, 0]) ** 2 + (v - obs_xy[:, 1]) ** 2)
+        r = jnp.where(cam[:, 2] > 0, r, 1e9)
+        return jnp.where(jnp.isfinite(r), r, 1e9)
+
+    def fit(idx):
+        sim = umeyama(X[idx], Y[idx])
+        return jnp.concatenate([sim.R.reshape(-1), sim.t, sim.s[None]])
+
+    model, inliers, n_in = ransac(
+        key, fit, reproj_err, valid, n_hypotheses, 3, threshold_px
+    )
+
+    def refit(inl):
+        sim = umeyama(X, Y, inl.astype(X.dtype))
+        m = jnp.concatenate([sim.R.reshape(-1), sim.t, sim.s[None]])
+        return (reproj_err(m) < threshold_px) & valid, sim
+
+    inliers, sim = refit(inliers)
+    inliers, sim = refit(inliers)
+    n_in = jnp.sum(inliers)
+    ok = (
+        (n_in >= min_inliers)
+        & jnp.isfinite(sim.s)
+        & (sim.s > 1e-6)
+        & jnp.all(jnp.isfinite(sim.R))
+        & jnp.all(jnp.isfinite(sim.t))
+    )
+    return Sim3Result(sim=sim, inliers=inliers, n_inliers=n_in, ok=ok)
+
+
 @functools.partial(jax.jit, static_argnames=("n_hypotheses",))
 def estimate_sim3_ransac(
     key: jax.Array,

@@ -127,18 +127,34 @@ def bootstrap_pair(
     K: jnp.ndarray,
     dist: jnp.ndarray,
     config: PipelineConfig,
-) -> Tuple[ReconstructionState, jnp.ndarray]:
+    basin: jnp.ndarray | int = 0,
+) -> Tuple[ReconstructionState, jnp.ndarray, jnp.ndarray]:
     """Two-view reconstruction seeding the map (src/Sfm.cpp:420-489):
     P_left = I anchored at view_i, pose from the essential matrix,
     triangulate pose inliers, 6 px reprojection gate, insert with tracks.
 
-    Returns (state, ok).
+    `basin` (0 or 1, traced) selects which of the two basin-diverse pose
+    interpretations to reconstruct (ops/epipolar.py
+    estimate_relative_pose_basins); the host tries basin 0 first and falls
+    back to 1 when the component cannot be validated by a third view.
+
+    Returns (state, ok, med_angle_deg). ok additionally requires the median
+    triangulation angle of accepted points to exceed
+    config.geometry.min_seed_triangulation_angle_deg — a spurious
+    near-pure-translation interpretation triangulates a cone of rays with
+    ~0.1 deg parallax, and seeding from it poisons every downstream stage
+    (PnP, Sim(3) merge). The reference has no such guard and silently
+    corrupts its map on low-parallax pairs.
     """
+    from sfm_danpipeline_tpu.ops.epipolar import (
+        estimate_relative_pose_basins,
+    )
+
     pa = keypoints_xy[view_i, matches.idx_a]
     pb = keypoints_xy[view_j, matches.idx_b]
     x1 = undistort_points(pa, K, dist)
     x2 = undistort_points(pb, K, dist)
-    pose = estimate_relative_pose(
+    poses = estimate_relative_pose_basins(
         key,
         x1,
         x2,
@@ -147,6 +163,8 @@ def bootstrap_pair(
         threshold_px=config.geometry.essential_threshold_px,
         n_hypotheses=config.geometry.essential_ransac_iters,
     )
+    basin = jnp.asarray(basin, jnp.int32)
+    pose = jax.tree_util.tree_map(lambda a: a[basin], poses)
     eye = jnp.eye(3)
     zero = jnp.zeros(3)
     X, keep = triangulate_and_filter(
@@ -183,5 +201,22 @@ def bootstrap_pair(
         keep,
         merge_distance=config.geometry.merge_distance,
     )
-    ok = pose.ok & (jnp.sum(keep) >= config.geometry.min_pose_points)
-    return state, ok
+    # Median triangulation angle (deg) of accepted points: the angle between
+    # the two observation rays. Masked median via sort-with-sentinel.
+    C2 = -pose.R.T @ pose.t
+    r1 = X / (jnp.linalg.norm(X, axis=-1, keepdims=True) + 1e-12)
+    d2 = X - C2
+    r2 = d2 / (jnp.linalg.norm(d2, axis=-1, keepdims=True) + 1e-12)
+    ang = jnp.degrees(
+        jnp.arccos(jnp.clip(jnp.sum(r1 * r2, axis=-1), -1.0, 1.0))
+    )
+    n_keep = jnp.sum(keep)
+    med_idx = jnp.clip((n_keep - 1) // 2, 0)
+    med_angle = jnp.sort(jnp.where(keep, ang, jnp.inf))[med_idx]
+    med_angle = jnp.where(n_keep > 0, med_angle, 0.0)
+    ok = (
+        pose.ok
+        & (n_keep >= config.geometry.min_pose_points)
+        & (med_angle >= config.geometry.min_seed_triangulation_angle_deg)
+    )
+    return state, ok, med_angle

@@ -99,9 +99,11 @@ def register_view(
     dist: jnp.ndarray,
     image_max_dim: float,
     config: PipelineConfig,
-) -> Tuple[ReconstructionState, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[ReconstructionState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """PnP-register `new_view` from 2D-3D correspondences through the track
-    table (src/Sfm.cpp:946-961). Returns (state, ok, n_inliers).
+    table (src/Sfm.cpp:946-961). Returns (state, ok, n_inliers, n_support)
+    where n_support is the 2D-3D correspondence count PnP had to work with
+    (the starvation diagnostic for views past a viewpoint break).
 
     Each done view's matches are first pruned to their two-view epipolar
     consensus (the non-planar analogue of the reference's homography
@@ -195,7 +197,7 @@ def register_view(
     state = dataclasses.replace(
         state, cameras=cameras, camera_valid=camera_valid
     )
-    return state, res.ok, res.n_inliers
+    return state, res.ok, res.n_inliers, jnp.sum(keep)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -221,9 +223,9 @@ def register_and_triangulate(
     The split register/triangulate pair costs two tunnel round-trips per
     view plus a host sync between them; fusing them halves the per-view
     dispatch latency of the incremental loop (the reference's inner loop,
-    src/Sfm.cpp:933-996). Returns (state, ok, n_inliers, n_points).
+    src/Sfm.cpp:933-996). Returns (state, ok, n_inliers, n_support).
     """
-    state, ok, n_inl = register_view(
+    state, ok, n_inl, n_support = register_view(
         key, state, new_view, done_views, feat_tab_a, feat_tab_b,
         valid_tab_loose, keypoints_xy, K, dist, image_max_dim, config,
     )
@@ -236,7 +238,7 @@ def register_and_triangulate(
         return st2
 
     state = jax.lax.cond(ok, tri, lambda st: st, state)
-    return state, ok, n_inl, state.n_points
+    return state, ok, n_inl, n_support
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

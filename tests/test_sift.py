@@ -90,10 +90,14 @@ def test_descriptor_matches_under_translation():
     good = 0
     total = 0
     for i, p in enumerate(xy1):
-        j = np.linalg.norm(xy2 - (p + [0, 6]), axis=1).argmin()
-        if np.linalg.norm(xy2[j] - (p + [0, 6])) < 1.0:
+        # Secondary-orientation keypoints duplicate positions (OpenCV
+        # semantics): compare against the best descriptor among ALL
+        # co-located candidates, not just the positionally nearest row.
+        d = np.linalg.norm(xy2 - (p + [0, 6]), axis=1)
+        near = d < 1.0
+        if near.any():
             total += 1
-            good += np.dot(d1[i], d2[j]) > 0.9
+            good += (d2[near] @ d1[i]).max() > 0.9
     assert total > 5
     assert good > 0.8 * total
 

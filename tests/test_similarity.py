@@ -195,7 +195,9 @@ def test_cross_component_pairs_finds_candidates():
     ft_a = ft_a.at[0, 2, :3].set(jnp.arange(3, dtype=jnp.int32))
     ft_b = ft_b.at[0, 2, :3].set(jnp.arange(3, dtype=jnp.int32))
     vt = vt.at[0, 2, :3].set(True)
-    Xa, Xb, pid_a, pid_b, m = cross_component_pairs(a, b, ft_a, ft_b, vt)
+    Xa, Xb, pid_a, pid_b, va, fa, m = cross_component_pairs(
+        a, b, ft_a, ft_b, vt
+    )
     n = int(jnp.sum(m))
     assert n == 3
     # each candidate links A point i to B point i, in each state's own frame
