@@ -133,7 +133,27 @@ def main():
 
     m = res.metrics
     t_ba = max(m.get("t_final_ba", 0.0), 1e-9)
+    # MFU observability (north star "speed-of-light per chip"): analytic
+    # FLOPs models vs measured stage wall. NOTE per-stage walls through the
+    # axon tunnel are dispatch-skewed; these are lower bounds on true MFU.
+    from sfm_danpipeline_tpu.utils.flops import (
+        matching_flops,
+        mfu,
+        sift_flops,
+    )
+
+    n_img = images.n_images
+    t_feat = max(m.get("t_features", 0.0), 1e-9)
+    t_match = max(m.get("t_matching", 0.0), 1e-9)
+    H, W = images.shape
+    feat_flops = n_img * sift_flops(H, W, cfg.features)
+    match_flops = matching_flops(
+        int(m.get("n_pairs", 45)), cfg.features.max_keypoints
+    )
     extra = {
+        "features_ms_per_image": round(1000.0 * t_feat / n_img, 1),
+        "mfu_features_pct": round(100.0 * mfu(feat_flops, t_feat), 3),
+        "mfu_matching_pct": round(100.0 * mfu(match_flops, t_match), 3),
         "gates": gates,
         "warmup_s": round(warm, 2),
         "steady_s": round(steady, 2),

@@ -33,6 +33,8 @@ class BAProblem:
     obs_w:   (O,)    observation weight (0 = padding slot)
     fix_cam: (C,)    bool — cameras whose parameters are frozen
     fix_focal: ()    bool — freeze the shared focal
+    fix_pt:  (P,) or None — points frozen (local-window BA keeps the rest
+             of the map rigid while adjusting the active neighborhood)
     """
 
     cameras: jnp.ndarray
@@ -44,6 +46,7 @@ class BAProblem:
     obs_w: jnp.ndarray
     fix_cam: jnp.ndarray
     fix_focal: jnp.ndarray
+    fix_pt: jnp.ndarray | None = None
 
     @property
     def n_cameras(self) -> int:
@@ -70,6 +73,7 @@ jax.tree_util.register_dataclass(
         "obs_w",
         "fix_cam",
         "fix_focal",
+        "fix_pt",
     ],
     meta_fields=[],
 )

@@ -80,6 +80,7 @@ def run_ba_sharded(
         obs_w=obs_spec,
         fix_cam=rep,
         fix_focal=rep,
+        fix_pt=None if problem.fix_pt is None else rep,
     )
     out_specs = BAResult(
         cameras=rep,

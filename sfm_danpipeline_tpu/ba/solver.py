@@ -63,6 +63,9 @@ def build_normal_blocks(problem: BAProblem) -> Tuple[NormalBlocks, jnp.ndarray]:
     cam_free = 1.0 - problem.fix_cam[problem.obs_cam].astype(Jc.dtype)
     Jc = Jc * cam_free[:, None, None]
     Jf = Jf * (1.0 - problem.fix_focal.astype(Jf.dtype))
+    if problem.fix_pt is not None:
+        pt_free = 1.0 - problem.fix_pt[problem.obs_pt].astype(Jp.dtype)
+        Jp = Jp * pt_free[:, None, None]
 
     JcT = jnp.swapaxes(Jc, 1, 2)  # (O, 6, 2)
     JpT = jnp.swapaxes(Jp, 1, 2)  # (O, 3, 2)

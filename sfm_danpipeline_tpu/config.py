@@ -89,6 +89,11 @@ class GeometryConfig:
     # 0.004 * max image dimension).
     homography_threshold_factor: float = 0.004
     homography_ransac_iters: int = 256
+    # Planar / rotation-only degeneracy gate on SEED pairs: unusable when
+    # homography inliers exceed this fraction of essential inliers (the
+    # live form of the reference's findHomographyInliers pair scoring,
+    # src/Sfm.cpp:545,667-689; COLMAP's init uses the same H/E criterion).
+    max_seed_h_over_e: float = 0.92
     # Triangulation acceptance: reprojection error in both views
     # (reference src/Sfm.cpp:850: <= 6.0 px).
     max_reprojection_error_px: float = 6.0
@@ -148,6 +153,16 @@ class BAConfig:
     min_lambda: float = 1e-10
     # Relative cost-decrease convergence tolerance (Ceres eta=1e-2 analogue).
     rtol: float = 1e-8
+    # Local-window BA (the reference's intended per-view adjustCurrentBundle
+    # cadence, src/Sfm.cpp:883-888,996): once the map holds at least
+    # local_ba_min_views cameras, each registration adjusts only the new
+    # view + its (local_window - 1) most covisible cameras + the points the
+    # new view observes, with a full global solve every global_ba_every
+    # registrations and at the end. Keeps per-view BA cost ~constant in map
+    # size (VERDICT r2 weak #5: O(V) full solves do not scale).
+    local_window: int = 8
+    local_ba_min_views: int = 12
+    global_ba_every: int = 4
     # Optimize the shared focal length. The reference's Ceres code does
     # (BundleAdjustment.cpp:79,133) but its call sites are stubbed out
     # (src/Sfm.cpp:492,886) so it never actually runs; with a calibrated K

@@ -31,12 +31,16 @@ def match_all_pairs_sharded(
     max_matches: int = 1024,
     mesh: Optional[Mesh] = None,
     axis: str = "d",
+    use_pallas: bool = False,
+    strict_ratio: float | None = None,
 ) -> PairMatches:
     """Sharded form of ops.matching.match_all_pairs.
 
     descriptors (N, K, D) / valid (N, K) are replicated; pair_i/pair_j (NP,)
     shard along `axis`. The returned PairMatches covers the original NP
-    pairs (padding pairs are stripped).
+    pairs (padding pairs are stripped). `use_pallas`/`strict_ratio` pass
+    through to the per-shard matcher (production parity with the
+    single-device path, pipeline/sfm.py).
     """
     if mesh is None:
         mesh = jax.make_mesh((jax.device_count(),), (axis,))
@@ -58,7 +62,8 @@ def match_all_pairs_sharded(
     )
     def matcher(desc, val, pi, pj):
         return match_all_pairs(
-            desc, val, pi, pj, ratio=ratio, max_matches=max_matches
+            desc, val, pi, pj, ratio=ratio, max_matches=max_matches,
+            use_pallas=use_pallas, strict_ratio=strict_ratio,
         )
 
     out = matcher(descriptors, valid, pair_i, pair_j)

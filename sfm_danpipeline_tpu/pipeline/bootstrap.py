@@ -36,7 +36,8 @@ import dataclasses
 class PairScores(NamedTuple):
     pose_inlier_ratio: jnp.ndarray  # (NP,)
     n_matches: jnp.ndarray  # (NP,)
-    usable: jnp.ndarray  # (NP,) >= min_pair_matches and pose ok
+    usable: jnp.ndarray  # (NP,) >= min_pair_matches, pose ok, not planar
+    h_over_e: jnp.ndarray  # (NP,) homography/essential inlier ratio
 
 
 def _score_one_pair_core(
@@ -46,12 +47,16 @@ def _score_one_pair_core(
     pb: jnp.ndarray,
     K: jnp.ndarray,
     dist: jnp.ndarray,
+    image_max_dim: jnp.ndarray,
     config: PipelineConfig,
 ):
+    from sfm_danpipeline_tpu.ops.homography import homography_ransac
+
     x1 = undistort_points(pa, K, dist)
     x2 = undistort_points(pb, K, dist)
+    k_e, k_h = jax.random.split(key)
     pose = estimate_relative_pose(
-        key,
+        k_e,
         x1,
         x2,
         m.valid,
@@ -59,10 +64,24 @@ def _score_one_pair_core(
         threshold_px=config.geometry.essential_threshold_px,
         n_hypotheses=config.geometry.essential_ransac_iters,
     )
+    # Homography check (the reference's findHomographyInliers in pair
+    # scoring, src/Sfm.cpp:545,667-689, threshold 0.004*maxdim): when H
+    # explains ~as many matches as E, the pair is degenerate for epipolar
+    # initialization (planar scene or rotation-only motion — E is then
+    # unconstrained and the recovered pose is noise). COLMAP applies the
+    # same H/E gate to its init pair.
+    _, _, n_h = homography_ransac(
+        k_h, pa, pb, m.valid,
+        threshold=config.geometry.homography_threshold_factor
+        * image_max_dim,
+        n_hypotheses=config.geometry.homography_ransac_iters,
+    )
     n = jnp.sum(m.valid)
     ratio = pose.n_inliers / jnp.maximum(n, 1)
-    usable = (n >= config.matching.min_pair_matches) & pose.ok
-    return ratio, n, usable
+    h_over_e = n_h / jnp.maximum(pose.n_inliers, 1)
+    planar = h_over_e > config.geometry.max_seed_h_over_e
+    usable = (n >= config.matching.min_pair_matches) & pose.ok & ~planar
+    return ratio, n, usable, h_over_e
 
 
 _score_one_pair = jax.jit(_score_one_pair_core, static_argnames=("config",))
@@ -77,6 +96,7 @@ def score_pairs(
     pair_j: jnp.ndarray,
     K: jnp.ndarray,
     dist: jnp.ndarray,
+    image_max_dim: jnp.ndarray,
     config: PipelineConfig,
 ) -> PairScores:
     """Score all pairs by pose-inlier ratio — ONE device dispatch.
@@ -96,16 +116,19 @@ def score_pairs(
         k, m, i, j = inp
         pa = keypoints_xy[i, m.idx_a]
         pb = keypoints_xy[j, m.idx_b]
-        ratio, n, usable = _score_one_pair_core(k, m, pa, pb, K, dist, config)
-        return None, (ratio, n.astype(jnp.int32), usable)
+        ratio, n, usable, h_over_e = _score_one_pair_core(
+            k, m, pa, pb, K, dist, image_max_dim, config
+        )
+        return None, (ratio, n.astype(jnp.int32), usable, h_over_e)
 
-    _, (ratios, ns, usables) = jax.lax.scan(
+    _, (ratios, ns, usables, h_over_e) = jax.lax.scan(
         body, None, (keys, matches, pair_i, pair_j)
     )
     return PairScores(
         pose_inlier_ratio=jnp.where(usables, ratios, -1.0),
         n_matches=ns,
         usable=usables,
+        h_over_e=h_over_e,
     )
 
 

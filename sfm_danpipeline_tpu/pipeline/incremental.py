@@ -223,7 +223,14 @@ def register_and_triangulate(
     The split register/triangulate pair costs two tunnel round-trips per
     view plus a host sync between them; fusing them halves the per-view
     dispatch latency of the incremental loop (the reference's inner loop,
-    src/Sfm.cpp:933-996). Returns (state, ok, n_inliers, n_support).
+    src/Sfm.cpp:933-996).
+
+    Returns (state, stats) with stats an int32[5] vector
+    [ok, n_inliers, n_support, n_points_after, n_obs_after]: ONE packed
+    host fetch instead of five scalar round-trips — each scalar fetch is a
+    full tunnel RTT on the remote-TPU backend, and the per-view RTTs (not
+    compute) dominated the incremental stage (r3 measurement: ~0.67 s/view
+    of which compute is milliseconds).
     """
     state, ok, n_inl, n_support = register_view(
         key, state, new_view, done_views, feat_tab_a, feat_tab_b,
@@ -238,7 +245,21 @@ def register_and_triangulate(
         return st2
 
     state = jax.lax.cond(ok, tri, lambda st: st, state)
-    return state, ok, n_inl, n_support
+    n_obs = jnp.sum(
+        (state.track_feat >= 0)
+        & state.points_valid[:, None]
+        & state.camera_valid[None, :]
+    )
+    stats = jnp.stack(
+        [
+            ok.astype(jnp.int32),
+            n_inl.astype(jnp.int32),
+            n_support.astype(jnp.int32),
+            state.n_points.astype(jnp.int32),
+            n_obs.astype(jnp.int32),
+        ]
+    )
+    return state, stats
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -105,3 +105,54 @@ class TestCLIResume:
         with open(os.path.join(out, "dendrometry.json")) as f:
             rep = json.load(f)
         assert rep["total_height"] > 0
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_mid_run_kill_and_resume(tmp_path, temple_images, temple_intrinsics):
+    """A run killed mid-incremental resumes from the per-view checkpoint
+    and completes to a gate-passing reconstruction (SURVEY.md §5; VERDICT
+    r2 weak #8: the r2 pipeline checkpointed only after the whole stage)."""
+    import dataclasses
+
+    from sfm_danpipeline_tpu.config import PipelineConfig
+    from sfm_danpipeline_tpu.pipeline.sfm import SfMPipeline
+
+    sub = dataclasses.replace(
+        temple_images,
+        gray=temple_images.gray[:6],
+        color=temple_images.color[:6],
+        sizes=temple_images.sizes[:6],
+        paths=temple_images.paths[:6],
+    )
+    cfg = PipelineConfig().replace(max_points=8192)
+    ckpt = str(tmp_path / "mid.npz")
+
+    # Simulate a kill: abort the growth loop right after the 3rd view's
+    # checkpoint lands.
+    class _Killed(RuntimeError):
+        pass
+
+    pipe = SfMPipeline(cfg, checkpoint_path=ckpt)
+    orig = pipe._save_ckpt
+    calls = {"n": 0}
+
+    def killing_save(state, done, lost, anchor):
+        orig(state, done, lost, anchor)
+        calls["n"] += 1
+        if len(done) >= 3:
+            raise _Killed()
+
+    pipe._save_ckpt = killing_save
+    with pytest.raises(_Killed):
+        pipe.run(sub, temple_intrinsics)
+    assert os.path.exists(ckpt)
+
+    # Fresh pipeline object resumes from the checkpoint and completes.
+    pipe2 = SfMPipeline(cfg, checkpoint_path=ckpt)
+    res = pipe2.run(sub, temple_intrinsics)
+    assert len(res.registered_views) == 6
+    assert res.metrics["ba_rms_px"] < 1.0
+    assert res.metrics["n_points"] >= 500

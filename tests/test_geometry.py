@@ -290,3 +290,66 @@ class TestHomography:
             threshold=0.004 * 640,
         )
         assert int(n) < s["obs"].shape[1] * 0.9
+
+
+def test_planar_pair_rejected_as_seed():
+    """A planar-dominant pair (H explains everything E does) must be marked
+    unusable for seeding — the live form of the reference's
+    findHomographyInliers scoring (src/Sfm.cpp:545,667-689). E-only scoring
+    accepts such pairs and initializes from an unconstrained pose."""
+    import numpy as np
+    from sfm_danpipeline_tpu.config import PipelineConfig
+    from sfm_danpipeline_tpu.ops.matching import PairMatches
+    from sfm_danpipeline_tpu.pipeline.bootstrap import score_pairs
+
+    rng = np.random.default_rng(11)
+    K = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1.0]])
+    M = 256
+
+    def project(X, R, t):
+        c = X @ R.T + t
+        uv = c[:, :2] / c[:, 2:3]
+        return uv * [800, 800] + [320, 240]
+
+    ang = 0.25
+    R2 = np.array([
+        [np.cos(ang), 0, np.sin(ang)],
+        [0, 1, 0],
+        [-np.sin(ang), 0, np.cos(ang)],
+    ])
+    t2 = np.array([-0.8, 0.05, 0.1])
+
+    def scene(flat):
+        X = rng.uniform(-1.5, 1.5, (M, 3))
+        X[:, 2] = 5.0 + flat * X[:, 2]
+        p1 = project(X, np.eye(3), np.zeros(3)) + rng.normal(0, 0.3, (M, 2))
+        p2 = project(X, R2, t2) + rng.normal(0, 0.3, (M, 2))
+        return p1, p2
+
+    # Two "views" with keypoints = the projections; identity matches.
+    p1_plane, p2_plane = scene(0.0)   # pure plane
+    p1_3d, p2_3d = scene(1.0)         # full 3D structure
+    kp_xy = jnp.asarray(
+        np.stack([p1_plane, p2_plane, p1_3d, p2_3d]), jnp.float32
+    )
+    idx = jnp.tile(jnp.arange(M, dtype=jnp.int32)[None], (2, 1))
+    matches = PairMatches(
+        idx_a=idx,
+        idx_b=idx,
+        dist=jnp.zeros((2, M), jnp.float32),
+        lowe=jnp.zeros((2, M), jnp.float32),
+        valid=jnp.ones((2, M), bool),
+    )
+    cfg = PipelineConfig()
+    scores = score_pairs(
+        jax.random.key(2), matches, kp_xy,
+        jnp.asarray([0, 2], jnp.int32), jnp.asarray([1, 3], jnp.int32),
+        jnp.asarray(K, jnp.float32), jnp.zeros(5, jnp.float32),
+        jnp.asarray(640.0, jnp.float32), cfg,
+    )
+    assert not bool(scores.usable[0]), (
+        f"planar pair accepted (h/e={float(scores.h_over_e[0]):.2f})"
+    )
+    assert bool(scores.usable[1]), (
+        f"3D pair rejected (h/e={float(scores.h_over_e[1]):.2f})"
+    )
