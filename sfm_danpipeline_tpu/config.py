@@ -83,6 +83,12 @@ class GeometryConfig:
     # Essential matrix RANSAC (reference src/Sfm.cpp:542,743: p=0.999, thr=1.0 px).
     essential_ransac_iters: int = 512
     essential_threshold_px: float = 1.0
+    # Cheaper budget for the per-done-view epipolar PREFILTER inside
+    # registration (pipeline/incremental.py): it only prunes gross
+    # outliers before PnP, and its 8-point fits are the incremental
+    # loop's dominant small-eigh load (D views x iters 9x9 eigh per
+    # registration).
+    prefilter_ransac_iters: int = 128
     # Min aligned points to attempt pose (reference src/Sfm.cpp:734: >=8).
     min_pose_points: int = 8
     # Homography RANSAC inlier threshold factor (reference src/Sfm.cpp:667-689:

@@ -249,7 +249,12 @@ def solve_pnp_ransac(
         return jnp.minimum(_reproj_errors_px(Rt, X, px, K), 1e9)
 
     k_dlt, k_p3p = jax.random.split(key)
-    idx6 = sample_indices(k_dlt, valid, n_hypotheses, sample_size)
+    # The 6-point DLT pool exists for high-inlier accuracy; a quarter
+    # budget suffices there (its 12x12 eigh per sample is the expensive
+    # hypothesis generator). P3P (cheap scalar Newton) keeps the full
+    # budget — it is what works at low inlier rates.
+    idx6 = sample_indices(k_dlt, valid, max(256, n_hypotheses // 4),
+                          sample_size)
     models6 = jax.vmap(lambda i: _dlt_pnp(X[i], xn[i]))(idx6)
     idx3 = sample_indices(k_p3p, valid, n_hypotheses, 3)
     h = jnp.concatenate([xn, jnp.ones_like(xn[:, :1])], axis=-1)

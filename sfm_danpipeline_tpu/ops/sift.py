@@ -37,10 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sfm_danpipeline_tpu.config import FeatureConfig
-from sfm_danpipeline_tpu.ops.interp import (
-    bilinear_sample_level,
-    gather_cube,
-)
+from sfm_danpipeline_tpu.ops.interp import gather_cube
 
 
 @dataclasses.dataclass(frozen=True)
@@ -276,10 +273,49 @@ def _gradient_stacks(gauss: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return gx, gy
 
 
+def _extract_patches(
+    stack: jnp.ndarray,  # (L, H, W)
+    level: jnp.ndarray,  # (K,) int
+    y0: jnp.ndarray,  # (K,) int patch origins (pre-clamped)
+    x0: jnp.ndarray,  # (K,)
+    ph: int,
+    pw: int,
+) -> jnp.ndarray:
+    """Per-keypoint (ph, pw) patches via batched dynamic_slice — contiguous
+    block loads instead of random gathers."""
+
+    def cut(l, yy, xx):
+        return jax.lax.dynamic_slice(stack, (l, yy, xx), (1, ph, pw))[0]
+
+    return jax.vmap(cut)(level, y0, x0)
+
+
+def _bilinear_from_patch(
+    patch: jnp.ndarray,  # (PH, PW)
+    xs: jnp.ndarray,  # (S,) patch-local fractional coords
+    ys: jnp.ndarray,  # (S,)
+) -> jnp.ndarray:
+    """Bilinear sampling as two hat-weight contractions (MXU work, zero
+    gathers): the 1-D linear-interpolation weights of sample s against row
+    r are exactly relu(1 - |ys_s - r|), so sampling = Wr @ patch then a
+    row-wise dot with Wc. This is what took the descriptor stage off the
+    TPU's scalar-gather path (201 ms -> MXU microseconds per image; the
+    gathers were 75% of detect wall)."""
+    PH, PW = patch.shape
+    ys = jnp.clip(ys, 0.0, PH - 1.0)
+    xs = jnp.clip(xs, 0.0, PW - 1.0)
+    Wr = jnp.maximum(
+        0.0, 1.0 - jnp.abs(ys[:, None] - jnp.arange(PH, dtype=patch.dtype))
+    )  # (S, PH)
+    Wc = jnp.maximum(
+        0.0, 1.0 - jnp.abs(xs[:, None] - jnp.arange(PW, dtype=patch.dtype))
+    )  # (S, PW)
+    return jnp.sum((Wr @ patch) * Wc, axis=-1)
+
+
 def _orientation(
-    gx: jnp.ndarray,
-    gy: jnp.ndarray,
-    level: jnp.ndarray,
+    pgx: jnp.ndarray,
+    pgy: jnp.ndarray,
     x: jnp.ndarray,
     y: jnp.ndarray,
     sigma_oct: jnp.ndarray,
@@ -287,13 +323,14 @@ def _orientation(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Top-2 gradient orientations per keypoint.
 
-    gx, gy: (L, H, W) gradient stacks; x, y, sigma_oct: (K,) octave-relative
-    keypoint geometry. Returns (angle1 (K,), angle2 (K,), has2 (K,)): the
-    dominant orientation, the best secondary local-max peak, and whether
-    that peak clears 0.8x the dominant one — OpenCV emits an extra keypoint
-    per such peak (calcOrientationHist, mag_thr = 0.8*maxval; the
-    reference's detector inherits this at src/Sfm.cpp:315-320), and round
-    1/2 dropped them, costing ~25-30%% of match density.
+    pgx, pgy: (K, PH, PW) per-keypoint gradient patches; x, y, sigma_oct:
+    (K,) PATCH-LOCAL keypoint geometry. Returns (angle1 (K,), angle2 (K,),
+    has2 (K,)): the dominant orientation, the best secondary local-max
+    peak, and whether that peak clears 0.8x the dominant one — OpenCV
+    emits an extra keypoint per such peak (calcOrientationHist,
+    mag_thr = 0.8*maxval; the reference's detector inherits this at
+    src/Sfm.cpp:315-320), and round 1/2 dropped them, costing ~25-30%% of
+    match density.
     """
     nbins = config.orientation_bins
     # Fixed 16x16 grid scaled by the keypoint's sigma (spacing ~0.56*sigma,
@@ -321,12 +358,12 @@ def _orientation(
         # Bin centers: bin b covers angle (-pi + 2pi*b/nbins).
         return (fpeak / nbins) * 2.0 * jnp.pi - jnp.pi
 
-    def per_kp(level_k, x_k, y_k, sig_k):
+    def per_kp(pgx_k, pgy_k, x_k, y_k, sig_k):
         rad = 4.5 * sig_k
         xs = x_k + tu * rad
         ys = y_k + tv * rad
-        gxs = bilinear_sample_level(gx, level_k, xs, ys)
-        gys = bilinear_sample_level(gy, level_k, xs, ys)
+        gxs = _bilinear_from_patch(pgx_k, xs, ys)
+        gys = _bilinear_from_patch(pgy_k, xs, ys)
         mag = jnp.sqrt(gxs * gxs + gys * gys)
         ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
         fbin = (ang + jnp.pi) / (2.0 * jnp.pi) * nbins
@@ -352,20 +389,20 @@ def _orientation(
         has2 = sm2[peak2] >= 0.8 * sm[peak]
         return peak_angle(sm, peak), peak_angle(sm, peak2), has2
 
-    return jax.vmap(per_kp)(level, x, y, sigma_oct)
+    return jax.vmap(per_kp)(pgx, pgy, x, y, sigma_oct)
 
 
 def _descriptors(
-    gx: jnp.ndarray,
-    gy: jnp.ndarray,
-    level: jnp.ndarray,
+    pgx: jnp.ndarray,
+    pgy: jnp.ndarray,
     x: jnp.ndarray,
     y: jnp.ndarray,
     sigma_oct: jnp.ndarray,
     angle: jnp.ndarray,
     config: FeatureConfig,
 ) -> jnp.ndarray:
-    """128-d SIFT descriptors on a fixed rotated sample grid.
+    """128-d SIFT descriptors on a fixed rotated sample grid, sampled from
+    per-keypoint gradient patches (x, y are PATCH-LOCAL).
 
     Standard SIFT geometry: 4x4 spatial bins of width 3*sigma each, 8
     orientation bins, Gaussian weighting with sigma = half the window,
@@ -385,14 +422,14 @@ def _descriptors(
     vv = vv.reshape(-1)
     gauss_w = jnp.exp(-(uu * uu + vv * vv) / (2.0 * (D / 2.0) ** 2))
 
-    def per_kp(level_k, x_k, y_k, sig_k, ang_k):
+    def per_kp(pgx_k, pgy_k, x_k, y_k, sig_k, ang_k):
         hist_width = 3.0 * sig_k
         ca, sa = jnp.cos(ang_k), jnp.sin(ang_k)
         # Rotated sample offsets in octave pixels.
         ox = hist_width * (uu * ca - vv * sa)
         oy = hist_width * (uu * sa + vv * ca)
-        gxs = bilinear_sample_level(gx, level_k, x_k + ox, y_k + oy)
-        gys = bilinear_sample_level(gy, level_k, x_k + ox, y_k + oy)
+        gxs = _bilinear_from_patch(pgx_k, x_k + ox, y_k + oy)
+        gys = _bilinear_from_patch(pgy_k, x_k + ox, y_k + oy)
         mag = jnp.sqrt(gxs * gxs + gys * gys)
         # Gradient angle relative to keypoint orientation.
         ang = jnp.arctan2(gys, gxs) - ang_k
@@ -435,7 +472,7 @@ def _descriptors(
         vec = jnp.minimum(vec / norm, 0.2)
         return vec / (jnp.linalg.norm(vec) + 1e-12)
 
-    return jax.vmap(per_kp)(level, x, y, sigma_oct, angle)
+    return jax.vmap(per_kp)(pgx, pgy, x, y, sigma_oct, angle)
 
 
 # ---------------------------------------------------------------------------
@@ -538,19 +575,35 @@ def _describe_octave(
     secondary >= 0.8*max peak, OpenCV's multi-orientation semantics.
     Returns octave-local (x2, y2, sigma2, angle2, resp2, desc2, valid2)
     with leading dim 2*K.
+
+    Sampling strategy: extract ONE (PH, PW) gradient patch per candidate
+    (contiguous dynamic-slice loads), then all orientation/descriptor
+    sampling happens via hat-weight contractions on the patch
+    (_bilinear_from_patch) — the random-gather formulation ran at the
+    TPU's scalar-gather rate and was 75% of detect wall (r3 profile).
     """
     S = config.n_scales_per_octave
     gx, gy = _gradient_stacks(gauss[: S + 2])
-    ang1, ang2, has2 = _orientation(
-        gx, gy, glevel, x, y, sigma_oct, config
-    )
+    _, H, W = gx.shape
+    # Patch covers the descriptor window (radius ~8.5*sigma, sigma <= 4.6)
+    # for all but the very largest-scale keypoints; rim samples of those
+    # clamp to the patch edge where their Gaussian weight is negligible.
+    PH = min(80, H)
+    PW = min(128, W)
+    y0 = jnp.clip(jnp.round(y).astype(jnp.int32) - PH // 2, 0, max(H - PH, 0))
+    x0 = jnp.clip(jnp.round(x).astype(jnp.int32) - PW // 2, 0, max(W - PW, 0))
+    pgx = _extract_patches(gx, glevel, y0, x0, PH, PW)  # (K, PH, PW)
+    pgy = _extract_patches(gy, glevel, y0, x0, PH, PW)
+    xl = x - x0.astype(x.dtype)
+    yl = y - y0.astype(y.dtype)
+    ang1, ang2, has2 = _orientation(pgx, pgy, xl, yl, sigma_oct, config)
     angles = jnp.concatenate([ang1, ang2])
     dup = lambda a: jnp.concatenate([a, a])  # noqa: E731
-    x2, y2, glevel2, sig2, resp2 = (
-        dup(x), dup(y), dup(glevel), dup(sigma_oct), dup(resp),
-    )
+    x2, y2, sig2, resp2 = (dup(x), dup(y), dup(sigma_oct), dup(resp))
     valid2 = jnp.concatenate([valid, valid & has2])
-    desc = _descriptors(gx, gy, glevel2, x2, y2, sig2, angles, config)
+    desc = _descriptors(
+        dup(pgx), dup(pgy), dup(xl), dup(yl), sig2, angles, config
+    )
     return x2, y2, sig2, angles, resp2, desc, valid2
 
 
@@ -588,6 +641,16 @@ def _detect_impl(
         gauss = build_gaussian_octave(octave_input, config)
         x, y, glevel, sig, resp, valid = _detect_octave(
             gauss, k_oct, config
+        )
+        # Compact before describing: refinement rejects ~50% of candidates
+        # and the orientation/descriptor gathers are the detector's
+        # dominant TPU cost (201 of ~270 ms/image, r3 measurement) — don't
+        # pay them for dead rows. Validity fractions sit well under the
+        # half-budget keep (measured 47% on temple octave 0).
+        k_desc = max(64, k_oct // 2)
+        _, sel = jax.lax.top_k(jnp.where(valid, resp, -1.0), k_desc)
+        x, y, glevel, sig, resp, valid = (
+            a[sel] for a in (x, y, glevel, sig, resp, valid)
         )
         x, y, sig, ang, resp, desc, valid = _describe_octave(
             gauss, x, y, glevel, sig, resp, valid, config

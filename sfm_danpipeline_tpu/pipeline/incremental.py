@@ -49,7 +49,7 @@ def _epipolar_filter_core(
     pose = estimate_relative_pose(
         key, xn, xd, valid, focal=K[0, 0],
         threshold_px=config.geometry.essential_threshold_px,
-        n_hypotheses=config.geometry.essential_ransac_iters,
+        n_hypotheses=config.geometry.prefilter_ransac_iters,
     )
     use = pose.ok & (jnp.sum(valid) >= 2 * config.geometry.min_pose_points)
     return jnp.where(use, valid & pose.inliers, valid)

@@ -16,18 +16,19 @@ def test_temple_incremental_reconstruction(temple_images, temple_intrinsics):
     # (the Middlebury capture rig moves to a different arc of its
     # hemisphere): the reference's pipeline loses views 6-9 outright (PnP
     # against the views-0-5 cloud starves, src/Sfm.cpp:955-958 just skips).
-    # The multi-component engine reconstructs {6..9} independently and
-    # Sim(3)-merges it, so ALL views register here.
+    # Here ALL views register — either directly (P3P-backed PnP bridges the
+    # break at its ~5-10% bridge-match inlier rate) or via the secondary
+    # component + verified Sim(3) merge fallback.
     assert len(res.registered_views) == 10
-    assert res.metrics["n_merged_components"] >= 1
     assert res.metrics["n_points"] >= 1000
     assert res.metrics["ba_rms_px"] < 1.0
-    # Merge quality: the fused cross-component tracks must be numerous and
-    # reproject tightly — the invariant a wrong-scale Sim(3) cannot fake
-    # (B-only observations are similarity-invariant; see pipeline/merge.py
-    # views_reprojection_median).
-    assert res.metrics["n_cross_tracks"] >= 20
-    assert res.metrics["merge_cross_med_px"] < 4.0
+    if res.metrics["n_merged_components"] > 0:
+        # Merge quality: the fused cross-component tracks must be numerous
+        # and reproject tightly — the invariant a wrong-scale Sim(3)
+        # cannot fake (B-only observations are similarity-invariant; see
+        # pipeline/merge.py views_reprojection_median).
+        assert res.metrics["n_cross_tracks"] >= 20
+        assert res.metrics["merge_cross_med_px"] < 4.0
     # Global geometry: every Middlebury temple camera sits on a hemisphere
     # around the object, so all camera centers are near-equidistant from
     # the cloud centroid. A wrong-scale merge puts component B's cameras at

@@ -67,7 +67,7 @@ strict = matches.at_ratio(cfg.matching.ratio)
 from sfm_danpipeline_tpu.pipeline.bootstrap import score_pairs, bootstrap_pair
 
 key = jax.random.key(0)
-scores = score_pairs(key, strict, kp.xy, jnp.asarray(pi), jnp.asarray(pj), K, dist, cfg)
+scores = score_pairs(key, strict, kp.xy, jnp.asarray(pi), jnp.asarray(pj), K, dist, jnp.asarray(640.0, jnp.float32), cfg)
 print("\npair (i,j): strict_n  loose_n  score  usable")
 sn = np.asarray(jnp.sum(strict.valid, -1))
 ln = np.asarray(jnp.sum(matches.valid, -1))
@@ -87,7 +87,7 @@ pair_of = {(int(a), int(b)): n for n, (a, b) in enumerate(zip(pi, pj))}
 def inspect_bootstrap(bi, bj):
     st = init_state(V, cfg.features.max_keypoints, cfg.max_points, calib.fx)
     bm = jax.tree_util.tree_map(lambda a: a[pair_of[(bi, bj)]], strict)
-    st, ok = bootstrap_pair(jax.random.key(7), st, bm, kp.xy, colors,
+    st, ok, _ = bootstrap_pair(jax.random.key(7), st, bm, kp.xy, colors,
                             bi, bj, K, dist, cfg)
     n = int(st.n_points)
     X = np.asarray(st.points_xyz[:n])
