@@ -306,16 +306,14 @@ class SfMPipeline:
         # selectable like the reference's int switch (include/Sfm.h:40-61).
         t0 = time.time()
         if cfg.features.detector == "orb":
-            from sfm_danpipeline_tpu.ops.orb import detect_and_compute_orb
+            from sfm_danpipeline_tpu.ops.orb import (
+                detect_and_compute_orb_batch,
+            )
 
-            outs = [
-                detect_and_compute_orb(
-                    jnp.asarray(images.gray[i]),
-                    max_keypoints=cfg.features.max_keypoints,
-                )
-                for i in range(V)
-            ]
-            kp = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+            kp = detect_and_compute_orb_batch(
+                jnp.asarray(images.gray),
+                max_keypoints=cfg.features.max_keypoints,
+            )
         elif cfg.features.detector == "akaze":
             from sfm_danpipeline_tpu.ops.akaze import (
                 detect_and_compute_akaze_batch,
@@ -371,21 +369,24 @@ class SfMPipeline:
             from sfm_danpipeline_tpu.ops.flow import flow_match_pair
 
             gray_j = jnp.asarray(images.gray)
-            per_pair = [
-                flow_match_pair(
-                    gray_j[a],
-                    gray_j[b],
-                    kp.xy[a],
-                    kp.valid[a],
-                    kp.xy[b],
-                    kp.valid[b],
-                    radius=cfg.matching.flow_radius,
-                    max_matches=cfg.matching.max_matches,
-                )
-                for a, b in zip(pi, pj)
-            ]
-            matches = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *per_pair
+
+            # lax.map over the pair list: ONE dispatch for all 45 pairs
+            # (r2 host-looped at a tunnel round-trip per pair).
+            @functools.partial(jax.jit, static_argnums=())
+            def _flow_all(pairs_ij):
+                def body(ij):
+                    a, b = ij[0], ij[1]
+                    return flow_match_pair(
+                        gray_j[a], gray_j[b], kp.xy[a], kp.valid[a],
+                        kp.xy[b], kp.valid[b],
+                        radius=cfg.matching.flow_radius,
+                        max_matches=cfg.matching.max_matches,
+                    )
+
+                return jax.lax.map(body, pairs_ij)
+
+            matches = _flow_all(
+                jnp.stack([jnp.asarray(pi), jnp.asarray(pj)], axis=-1)
             )
         else:
             # One pass at the looser registration ratio; each match carries
