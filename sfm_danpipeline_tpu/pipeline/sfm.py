@@ -81,14 +81,7 @@ def _bucket(n: int, cap: int) -> int:
     return cap
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_bucket", "n_obs_bucket", "ba_config", "fix_focal",
-        "max_error_px", "window",
-    ),
-)
-def _ba_step(
+def _ba_core(
     state: ReconstructionState,
     keypoints_xy: jnp.ndarray,
     pp: jnp.ndarray,
@@ -102,7 +95,8 @@ def _ba_step(
     local_view: jnp.ndarray | None = None,
     window: int = 8,
 ):
-    """Bundle adjustment + map hygiene as ONE dispatch.
+    """Bundle adjustment + map hygiene (traceable core; jitted as _ba_step
+    and inlined into the fused per-view step _register_adjust_step).
 
     Observations come from the COMPACT (track, view) table
     (tracks.observation_table_compact): BA work scales with real
@@ -181,6 +175,85 @@ def _ba_step(
         state, res.initial_cost, res.final_cost, res.iterations, n_obs,
         overflow,
     )
+
+
+_ba_step = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_bucket", "n_obs_bucket", "ba_config", "fix_focal",
+        "max_error_px", "window",
+    ),
+)(_ba_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "n_bucket", "n_obs_bucket", "fix_focal", "max_error_px",
+    ),
+)
+def _register_adjust_step(
+    key: jax.Array,
+    state: ReconstructionState,
+    new_view: jnp.ndarray,
+    done_views: jnp.ndarray,
+    feat_tab_a: jnp.ndarray,
+    feat_tab_b: jnp.ndarray,
+    valid_tab_loose: jnp.ndarray,
+    valid_tab_strict: jnp.ndarray,
+    keypoints_xy: jnp.ndarray,
+    colors: jnp.ndarray,
+    pp: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    image_max_dim: float,
+    config: PipelineConfig,
+    fix_cam: jnp.ndarray,
+    n_bucket: int,
+    n_obs_bucket: int,
+    fix_focal: bool,
+    max_error_px: float,
+    max_iterations: jnp.ndarray,
+    local_view: jnp.ndarray,  # -1 = global solve after this registration
+):
+    """ONE dispatch per incremental view: PnP register + triangulate + the
+    per-view bundle adjustment, with the BA skipped in-graph when
+    registration fails. The split form cost an extra host round-trip and
+    dispatch per view — on the remote-TPU backend those RTTs, not compute,
+    dominated the incremental stage (ROUND3_NOTES.md backlog #1). Bucket
+    sizes come from the PREVIOUS view's fetched stats with headroom; the
+    returned stats vector carries [ok, n_inliers, n_support, n_points,
+    n_obs, ba_overflow] so the host both sizes the next call and detects
+    the (rare) headroom miss, re-running BA standalone when it happens."""
+    state, stats = register_and_triangulate(
+        key, state, new_view, done_views, feat_tab_a, feat_tab_b,
+        valid_tab_loose, valid_tab_strict, keypoints_xy, colors,
+        K, dist, image_max_dim, config,
+    )
+    ok = stats[0] > 0
+
+    def do_ba(st):
+        st2, _, _, _, _, ovf = _ba_core(
+            st, keypoints_xy, pp, fix_cam, n_bucket, n_obs_bucket,
+            config.ba, fix_focal, max_error_px, max_iterations,
+            local_view, config.ba.local_window,
+        )
+        return st2, ovf
+
+    state, overflow = jax.lax.cond(
+        ok, do_ba, lambda st: (st, jnp.asarray(False)), state
+    )
+    # Post-BA observation count (prune may have dropped some).
+    n_obs = jnp.sum(
+        (state.track_feat >= 0)
+        & state.points_valid[:, None]
+        & state.camera_valid[None, :]
+    )
+    stats = jnp.concatenate(
+        [stats[:4], jnp.stack([n_obs.astype(jnp.int32),
+                               overflow.astype(jnp.int32)])]
+    )
+    return state, stats
 
 
 @dataclasses.dataclass
@@ -815,7 +888,15 @@ class SfMPipeline:
         """
         ft_a, ft_b, vt_strict, vt_loose = tables
         V = state.n_views
+        cfg = self.config
+        ba_cfg = cfg.ba
         n_grown = 0
+        # Bucket sizing for the fused per-view step comes from the LAST
+        # fetched sizes plus headroom (one fetch here seeds it).
+        sizes = (int(state.n_points), int(_count_obs(state)))
+        fixv = np.zeros(V, bool)
+        fixv[anchor] = True
+        fix_j = jnp.asarray(fixv)
         failed: set = set()
         progress = True
         while progress:
@@ -832,16 +913,51 @@ class SfMPipeline:
                 dv[: len(done)] = sorted(done)
                 dv_j = jnp.asarray(dv)
                 nv_j = jnp.asarray(new_view, jnp.int32)
-                state, stats = register_and_triangulate(
-                    keys[self._key_n % len(keys)], state, nv_j, dv_j,
-                    ft_a, ft_b, vt_loose, vt_strict, kp.xy, colors,
-                    K, dist, max_dim, self.config,
-                )
-                self._key_n += 1
-                # ONE packed fetch (each scalar fetch is a tunnel RTT).
-                ok, n_inl, n_support, n_pts, n_obs = (
-                    int(x) for x in np.asarray(stats)
-                )
+                if run_ba_every_view:
+                    # ONE dispatch: register + triangulate + per-view BA
+                    # (local window once the map is big enough; periodic
+                    # global solves keep drift bounded — the reference's
+                    # intended local+global cadence, src/Sfm.cpp:883-888).
+                    use_local = (
+                        len(done) + 1 >= ba_cfg.local_ba_min_views
+                        and (n_grown + 1) % ba_cfg.global_ba_every != 0
+                    )
+                    n_bucket = _bucket(
+                        int(1.5 * sizes[0]) + 256, state.capacity
+                    )
+                    need = max(1024, int(1.5 * sizes[1]) + 2048)
+                    n_obs_bucket = min(
+                        1 << (need - 1).bit_length(), n_bucket * V
+                    )
+                    state, stats = _register_adjust_step(
+                        keys[self._key_n % len(keys)], state, nv_j, dv_j,
+                        ft_a, ft_b, vt_loose, vt_strict, kp.xy, colors,
+                        pp, K, dist, max_dim, cfg, fix_j,
+                        n_bucket, n_obs_bucket,
+                        not ba_cfg.optimize_focal,
+                        float(cfg.geometry.max_reprojection_error_px),
+                        jnp.asarray(
+                            ba_cfg.intermediate_iterations, jnp.int32
+                        ),
+                        jnp.asarray(
+                            new_view if use_local else -1, jnp.int32
+                        ),
+                    )
+                    self._key_n += 1
+                    ok, n_inl, n_support, n_pts, n_obs, ovf = (
+                        int(x) for x in np.asarray(stats)
+                    )
+                else:
+                    state, stats = register_and_triangulate(
+                        keys[self._key_n % len(keys)], state, nv_j, dv_j,
+                        ft_a, ft_b, vt_loose, vt_strict, kp.xy, colors,
+                        K, dist, max_dim, cfg,
+                    )
+                    self._key_n += 1
+                    ok, n_inl, n_support, n_pts, n_obs = (
+                        int(x) for x in np.asarray(stats)
+                    )
+                    ovf = 0
                 if not ok:
                     log.warning(
                         "view %d: PnP failed (%d inliers of %d 2D-3D "
@@ -858,19 +974,16 @@ class SfMPipeline:
                 done.add(new_view)
                 n_grown += 1
                 progress = True
-                if run_ba_every_view:
-                    # Local window once the map is big enough; periodic +
-                    # final global solves keep drift bounded (the
-                    # reference's intended local+global cadence,
-                    # src/Sfm.cpp:883-888,996).
-                    ba_cfg = self.config.ba
-                    use_local = (
-                        len(done) >= ba_cfg.local_ba_min_views
-                        and n_grown % ba_cfg.global_ba_every != 0
+                sizes = (n_pts, n_obs)
+                if ovf:
+                    # Headroom miss: the fused BA truncated its obs table.
+                    # Redo the adjustment standalone with exact sizes.
+                    log.info(
+                        "view %d: BA obs headroom miss — redoing with "
+                        "exact buckets", new_view,
                     )
                     state = self._run_global_ba(
                         state, kp, pp, anchor=anchor, intermediate=True,
-                        local_view=new_view if use_local else None,
                         sizes=(n_pts, n_obs),
                     )
                 if ckpt_cb is not None:
