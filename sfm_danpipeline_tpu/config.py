@@ -74,6 +74,19 @@ class MatchConfig:
     min_pair_matches: int = 120
     # Maximum matches kept per pair (fixed shape for jit).
     max_matches: int = 1024
+    # Physical-point radius (px) for multi-orientation keypoint handling:
+    # the detector emits 2 rows per position (OpenCV secondary-orientation
+    # semantics, src/Sfm.cpp:315-320), so the Lowe second-best skips
+    # co-located twins of the best, and duplicate correspondences between
+    # the same two physical points collapse to the best-ranked one.
+    # 0 disables (plain BFMatcher semantics).
+    dup_radius: float = 0.5
+    # Also collapse duplicate output correspondences (both endpoints within
+    # dup_radius) to the best-ranked one. Off in the pipeline default:
+    # duplicate rows of a strong physical point reinforce RANSAC/PnP
+    # support on weak bridge pairs, and measured on temple the collapse
+    # starves view 9's registration (10/172 PnP inliers).
+    dedup_matches: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -74,9 +74,19 @@ def knn2_jnp(
     desc_a: jnp.ndarray,
     desc_b: jnp.ndarray,
     valid_b: jnp.ndarray,
+    xy_b: jnp.ndarray | None = None,
+    dup_r2: float = -1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """For each row of desc_a (Ka, D): (best_idx, best_dist2, second_dist2)
-    over valid rows of desc_b (Kb, D)."""
+    over valid rows of desc_b (Kb, D).
+
+    When `xy_b` (Kb, 2) is given with `dup_r2` > 0, the second-best search
+    excludes candidates co-located with the best (within sqrt(dup_r2) px):
+    multi-orientation keypoints duplicate positions (ops/sift.py
+    `_describe_octave` emits 2 rows per physical point, matching OpenCV's
+    SIFT at src/Sfm.cpp:315-320), and a near-identical twin of the best as
+    runner-up drives the Lowe ratio toward 1, suppressing true matches.
+    For ratio purposes the runner-up must be a DIFFERENT physical point."""
     # squared L2 via the matmul identity; the matmul is the MXU hot op.
     cross = desc_a @ desc_b.T  # (Ka, Kb)
     na = jnp.sum(desc_a * desc_a, axis=-1, keepdims=True)
@@ -85,8 +95,13 @@ def knn2_jnp(
     d2 = jnp.where(valid_b[None, :], d2, _INF)
     best_idx = jnp.argmin(d2, axis=-1)
     best = jnp.min(d2, axis=-1)
-    d2_wo = d2.at[jnp.arange(d2.shape[0]), best_idx].set(_INF)
-    second = jnp.min(d2_wo, axis=-1)
+    cols = jnp.arange(d2.shape[1])[None, :]
+    excl = cols == best_idx[:, None]
+    if xy_b is not None and dup_r2 > 0:
+        best_xy = xy_b[best_idx]  # (Ka, 2)
+        delta = xy_b[None, :, :] - best_xy[:, None, :]
+        excl = excl | (jnp.sum(delta * delta, axis=-1) <= dup_r2)
+    second = jnp.min(jnp.where(excl, _INF, d2), axis=-1)
     return best_idx.astype(jnp.int32), best, second
 
 
@@ -95,12 +110,13 @@ def knn2_jnp(
 # ---------------------------------------------------------------------------
 
 
-def _knn2_kernel(a_ref, b_ref, nb_ref, out_idx_ref, out_d_ref):
+def _knn2_kernel(a_ref, b_ref, nb_ref, out_idx_ref, out_d_ref, *, dup_r2):
     """One grid step: TILE_A rows of A against all of B.
 
     a_ref:  (TILE_A, D) VMEM
     b_ref:  (Kb, D)     VMEM (full, replicated across grid steps)
-    nb_ref: (1, Kb)     VMEM — precomputed ||b||^2 with invalid rows at +inf
+    nb_ref: (3, Kb)     VMEM — row 0: ||b||^2 with invalid rows at +inf;
+            rows 1-2: keypoint x, y (for co-location exclusion)
     out_idx_ref: (TILE_A, 1) int32
     out_d_ref:   (TILE_A, 2) float32 — (best, second) squared distances
     """
@@ -119,18 +135,33 @@ def _knn2_kernel(a_ref, b_ref, nb_ref, out_idx_ref, out_d_ref):
     best = jnp.min(d2, axis=-1)
     best_idx = jnp.argmin(d2, axis=-1)
     cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    d2_wo = jnp.where(cols == best_idx[:, None], _INF, d2)
-    second = jnp.min(d2_wo, axis=-1)
+    excl = cols == best_idx[:, None]
+    if dup_r2 > 0:
+        # Exclude co-located twins of the best (secondary-orientation rows
+        # share the position) from the second-best search — same semantics
+        # as knn2_jnp. Gather-free: select the best column's x/y with a
+        # masked reduction (dynamic gathers don't vectorize on TPU).
+        xb = nb_ref[1, :][None, :]
+        yb = nb_ref[2, :][None, :]
+        sel = (cols == best_idx[:, None]).astype(jnp.float32)
+        x_best = jnp.sum(sel * xb, axis=-1, keepdims=True)
+        y_best = jnp.sum(sel * yb, axis=-1, keepdims=True)
+        dx = xb - x_best
+        dy = yb - y_best
+        excl = excl | (dx * dx + dy * dy <= dup_r2)
+    second = jnp.min(jnp.where(excl, _INF, d2), axis=-1)
     out_idx_ref[:] = best_idx[:, None].astype(jnp.int32)
     out_d_ref[:] = jnp.stack([best, second], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_a",))
+@functools.partial(jax.jit, static_argnames=("tile_a", "dup_r2"))
 def knn2_pallas(
     desc_a: jnp.ndarray,
     desc_b: jnp.ndarray,
     valid_b: jnp.ndarray,
+    xy_b: jnp.ndarray | None = None,
     tile_a: int = 256,
+    dup_r2: float = -1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pallas top-2 nearest-neighbor search; semantics identical to
     `knn2_jnp` (asserted in tests/test_matching.py)."""
@@ -139,21 +170,23 @@ def knn2_pallas(
     pad = (-Ka) % tile_a
     if pad:
         desc_a = jnp.pad(desc_a, ((0, pad), (0, 0)))
-    nb = jnp.where(
-        valid_b, jnp.sum(desc_b * desc_b, axis=-1), _INF
-    )[None, :]
+    nb_row = jnp.where(valid_b, jnp.sum(desc_b * desc_b, axis=-1), _INF)
+    if xy_b is None:
+        xy_b = jnp.zeros((Kb, 2), desc_b.dtype)
+        dup_r2 = -1.0
+    nb = jnp.stack([nb_row, xy_b[:, 0], xy_b[:, 1]])  # (3, Kb)
 
     grid = (desc_a.shape[0] // tile_a,)
     # Interpret mode on non-TPU backends (CI runs the simulated CPU mesh).
     interpret = jax.default_backend() != "tpu"
     out_idx, out_d = pl.pallas_call(
-        _knn2_kernel,
+        functools.partial(_knn2_kernel, dup_r2=dup_r2),
         interpret=interpret,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_a, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Kb, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Kb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Kb), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile_a, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -177,7 +210,10 @@ def knn2_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_matches", "use_pallas", "strict_ratio")
+    jax.jit,
+    static_argnames=(
+        "max_matches", "use_pallas", "strict_ratio", "dup_radius", "dedup"
+    ),
 )
 def match_pair(
     desc_a: jnp.ndarray,
@@ -188,6 +224,10 @@ def match_pair(
     max_matches: int = 1024,
     use_pallas: bool = False,
     strict_ratio: float | None = None,
+    xy_a: jnp.ndarray | None = None,
+    xy_b: jnp.ndarray | None = None,
+    dup_radius: float = 0.0,
+    dedup: bool = True,
 ) -> PairMatches:
     """Ratio-test matches from image a to image b (src/Sfm.cpp:599-607).
 
@@ -199,9 +239,23 @@ def match_pair(
     strict test always rank ahead of loose-only ones, so a saturated pair
     never evicts a strict match (the reference's NN_MATCH_RATIO=0.8 set,
     include/Sfm.h:60) in favor of a loose registration-only match.
+
+    `xy_a`/`xy_b` (K, 2) with `dup_radius` > 0 enable physical-point
+    awareness for multi-orientation keypoints (two rows per position,
+    ops/sift.py): the ratio's second-best skips co-located twins of the
+    best, and among output matches that pair the same two physical points
+    (both endpoints within `dup_radius`) only the best-ranked survives —
+    one correspondence per physical point pair.
     """
-    knn = knn2_pallas if use_pallas else knn2_jnp
-    best_idx, best_d2, second_d2 = knn(desc_a, desc_b, valid_b)
+    dup_r2 = float(dup_radius) * float(dup_radius) if dup_radius > 0 else -1.0
+    if use_pallas:
+        best_idx, best_d2, second_d2 = knn2_pallas(
+            desc_a, desc_b, valid_b, xy_b=xy_b, dup_r2=dup_r2
+        )
+    else:
+        best_idx, best_d2, second_d2 = knn2_jnp(
+            desc_a, desc_b, valid_b, xy_b=xy_b, dup_r2=dup_r2
+        )
     d1 = jnp.sqrt(best_d2)
     d2 = jnp.sqrt(jnp.minimum(second_d2, _INF))
     lowe = d1 / jnp.maximum(d2, 1e-12)
@@ -215,12 +269,29 @@ def match_pair(
     if k < max_matches:  # keep the fixed output-shape contract
         order = jnp.pad(order, (0, max_matches - k))
     pad_mask = jnp.arange(max_matches) < k
+    valid = keep[order] & pad_mask
+    midx_b = best_idx[order]
+    if dedup and dup_r2 > 0 and xy_a is not None and xy_b is not None:
+        # Physical-point dedup: slots are ranked best-first; drop slot k if
+        # an earlier valid slot links the same two physical points.
+        axy = xy_a[order]  # (M, 2)
+        bxy = xy_b[midx_b]  # (M, 2)
+        da = axy[:, None, :] - axy[None, :, :]
+        db = bxy[:, None, :] - bxy[None, :, :]
+        same_a = jnp.sum(da * da, axis=-1) <= dup_r2
+        same_b = (midx_b[:, None] == midx_b[None, :]) | (
+            jnp.sum(db * db, axis=-1) <= dup_r2
+        )
+        M = order.shape[0]
+        earlier = jnp.arange(M)[None, :] < jnp.arange(M)[:, None]
+        dup = jnp.any(same_a & same_b & earlier & valid[None, :], axis=-1)
+        valid = valid & ~dup
     return PairMatches(
         idx_a=order.astype(jnp.int32),
-        idx_b=best_idx[order],
+        idx_b=midx_b,
         dist=d1[order],
         lowe=lowe[order],
-        valid=keep[order] & pad_mask,
+        valid=valid,
     )
 
 
@@ -233,13 +304,18 @@ def match_all_pairs(
     max_matches: int = 1024,
     use_pallas: bool = False,
     strict_ratio: float | None = None,
+    xy: jnp.ndarray | None = None,
+    dup_radius: float = 0.0,
+    dedup: bool = True,
 ) -> PairMatches:
     """Batch-match an explicit list of image pairs.
 
     descriptors: (N, K, D), valid: (N, K); pair_i/pair_j: (P,) image indices.
-    Returns PairMatches with leading dim P. This is the batched form of the
-    reference's O(N^2) matching loop (src/Sfm.cpp:511-533); the pair list is
-    data, so multi-host sharding = sharding pair_i/pair_j (SURVEY.md §5).
+    Optional xy: (N, K, 2) keypoint positions enabling multi-orientation
+    dedup (see match_pair). Returns PairMatches with leading dim P. This is
+    the batched form of the reference's O(N^2) matching loop
+    (src/Sfm.cpp:511-533); the pair list is data, so multi-host sharding =
+    sharding pair_i/pair_j (SURVEY.md §5).
     """
 
     def one(i, j):
@@ -252,6 +328,10 @@ def match_all_pairs(
             max_matches=max_matches,
             use_pallas=use_pallas,
             strict_ratio=strict_ratio,
+            xy_a=None if xy is None else xy[i],
+            xy_b=None if xy is None else xy[j],
+            dup_radius=dup_radius,
+            dedup=dedup,
         )
 
     return jax.vmap(one)(pair_i, pair_j)

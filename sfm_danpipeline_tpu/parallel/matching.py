@@ -33,14 +33,17 @@ def match_all_pairs_sharded(
     axis: str = "d",
     use_pallas: bool = False,
     strict_ratio: float | None = None,
+    xy: jnp.ndarray | None = None,
+    dup_radius: float = 0.0,
+    dedup: bool = True,
 ) -> PairMatches:
     """Sharded form of ops.matching.match_all_pairs.
 
-    descriptors (N, K, D) / valid (N, K) are replicated; pair_i/pair_j (NP,)
-    shard along `axis`. The returned PairMatches covers the original NP
-    pairs (padding pairs are stripped). `use_pallas`/`strict_ratio` pass
-    through to the per-shard matcher (production parity with the
-    single-device path, pipeline/sfm.py).
+    descriptors (N, K, D) / valid (N, K) / xy (N, K, 2) are replicated;
+    pair_i/pair_j (NP,) shard along `axis`. The returned PairMatches covers
+    the original NP pairs (padding pairs are stripped). `use_pallas`/
+    `strict_ratio`/`dup_radius` pass through to the per-shard matcher
+    (production parity with the single-device path, pipeline/sfm.py).
     """
     if mesh is None:
         mesh = jax.make_mesh((jax.device_count(),), (axis,))
@@ -50,23 +53,27 @@ def match_all_pairs_sharded(
     if pad:
         pair_i = jnp.pad(pair_i, (0, pad))
         pair_j = jnp.pad(pair_j, (0, pad))
+    if xy is None:
+        xy = jnp.zeros(descriptors.shape[:2] + (2,), descriptors.dtype)
+        dup_radius = 0.0
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P()),
         out_specs=PairMatches(
             idx_a=P(axis), idx_b=P(axis), dist=P(axis), lowe=P(axis),
             valid=P(axis),
         ),
     )
-    def matcher(desc, val, pi, pj):
+    def matcher(desc, val, pi, pj, kxy):
         return match_all_pairs(
             desc, val, pi, pj, ratio=ratio, max_matches=max_matches,
             use_pallas=use_pallas, strict_ratio=strict_ratio,
+            xy=kxy, dup_radius=dup_radius, dedup=dedup,
         )
 
-    out = matcher(descriptors, valid, pair_i, pair_j)
+    out = matcher(descriptors, valid, pair_i, pair_j, xy)
     if pad:
         # Slicing a sharded array to a non-divisible length has no
         # unambiguous sharding; replicate first, then strip padding pairs.

@@ -488,6 +488,9 @@ class SfMPipeline:
                     max_matches=cfg.matching.max_matches,
                     use_pallas=use_pallas,
                     strict_ratio=cfg.matching.ratio,
+                    xy=kp.xy,
+                    dup_radius=cfg.matching.dup_radius,
+                    dedup=cfg.matching.dedup_matches,
                 )
             else:
                 matches = match_all_pairs(
@@ -499,6 +502,9 @@ class SfMPipeline:
                     max_matches=cfg.matching.max_matches,
                     use_pallas=use_pallas,
                     strict_ratio=cfg.matching.ratio,
+                    xy=kp.xy,
+                    dup_radius=cfg.matching.dup_radius,
+                    dedup=cfg.matching.dedup_matches,
                 )
         jax.block_until_ready(matches.idx_a)
         metrics["t_matching"] = time.time() - t0

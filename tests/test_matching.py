@@ -110,3 +110,65 @@ def test_temple_adjacent_pair_gate(temple_images):
     kp1 = detect_and_compute(jnp.asarray(temple_images.gray[1]))
     m = match_pair(kp0.descriptors, kp0.valid, kp1.descriptors, kp1.valid)
     assert int(m.count) >= 120
+
+
+def test_dup_radius_rescues_twin_suppressed_match():
+    """A co-located secondary-orientation twin as runner-up must not
+    suppress the match: with dup_radius the second-best skips twins of the
+    best and the match passes the ratio test."""
+    rng = np.random.default_rng(3)
+    a = np.zeros((1, 128), np.float32)
+    a[0, 0] = 1.0
+    b = np.zeros((3, 128), np.float32)
+    b[0, 0] = 0.9
+    b[0, 1] = 0.1  # best: close to a[0]
+    b[1, 0] = 0.88
+    b[1, 1] = 0.12  # twin of b[0] (same physical point, other orientation)
+    b[2, 5] = 1.0  # distinct far point
+    xy_b = jnp.asarray([[10.0, 10.0], [10.0, 10.0], [200.0, 50.0]])
+    xy_a = jnp.asarray([[0.0, 0.0]])
+    common = dict(ratio=0.8, max_matches=4)
+    m_plain = match_pair(
+        jnp.asarray(a), jnp.ones(1, bool), jnp.asarray(b), jnp.ones(3, bool),
+        **common,
+    )
+    assert int(m_plain.count) == 0  # twin runner-up drives lowe toward 1
+    m_dup = match_pair(
+        jnp.asarray(a), jnp.ones(1, bool), jnp.asarray(b), jnp.ones(3, bool),
+        xy_a=xy_a, xy_b=xy_b, dup_radius=0.5, **common,
+    )
+    assert int(m_dup.count) == 1
+    v = np.asarray(m_dup.valid)
+    assert int(np.asarray(m_dup.idx_b)[v][0]) == 0
+    # Pallas path agrees.
+    m_pl = match_pair(
+        jnp.asarray(a), jnp.ones(1, bool), jnp.asarray(b), jnp.ones(3, bool),
+        xy_a=xy_a, xy_b=xy_b, dup_radius=0.5, use_pallas=True, **common,
+    )
+    assert int(m_pl.count) == 1
+
+
+def test_dup_radius_dedups_double_correspondence():
+    """Two co-located rows in A both matching rows of one physical point in
+    B collapse to ONE output correspondence (best-ranked survives)."""
+    a = np.zeros((3, 128), np.float32)
+    a[0, 0] = 1.0   # orientation row 1 of physical point PA
+    a[1, 0] = 0.95  # orientation row 2 of PA
+    a[1, 2] = 0.2
+    a[2, 7] = 1.0   # distinct point
+    b = np.zeros((3, 128), np.float32)
+    b[0, 0] = 1.0   # physical point PB
+    b[1, 7] = 1.0
+    b[2, 3] = 1.0   # far decoy so ratio tests pass
+    xy_a = jnp.asarray([[5.0, 5.0], [5.0, 5.0], [100.0, 80.0]])
+    xy_b = jnp.asarray([[50.0, 60.0], [120.0, 90.0], [300.0, 10.0]])
+    m = match_pair(
+        jnp.asarray(a), jnp.ones(3, bool), jnp.asarray(b), jnp.ones(3, bool),
+        ratio=0.8, max_matches=8, xy_a=xy_a, xy_b=xy_b, dup_radius=0.5,
+    )
+    v = np.asarray(m.valid)
+    pairs = list(zip(np.asarray(m.idx_a)[v], np.asarray(m.idx_b)[v]))
+    # a[0] and a[1] are the same physical point and both match b[0]:
+    # only the better one (a[0], dist 0) survives; (2, 1) is unaffected.
+    assert (0, 0) in pairs and (2, 1) in pairs
+    assert len(pairs) == 2
