@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sfm_danpipeline_tpu.config import BAConfig
-from sfm_danpipeline_tpu.ba.problem import BAProblem
+from sfm_danpipeline_tpu.ba.problem import BAProblem, make_problem
 from sfm_danpipeline_tpu.ba.solver import BAResult, run_ba
 
 
@@ -115,3 +115,193 @@ def run_ba_multihost(
     return jax.tree_util.tree_map(
         lambda a: jnp.asarray(a.addressable_data(0)), res
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end multi-host SfM driver
+# ---------------------------------------------------------------------------
+
+
+def _gather_tiled(tree, n_keep: int):
+    """process_allgather(tiled) each leaf along axis 0 and strip padding
+    rows beyond `n_keep` (shards are equal-size, clip-padded)."""
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(
+            multihost_utils.process_allgather(np.asarray(x), tiled=True)
+        )[:n_keep],
+        tree,
+    )
+
+
+def _detect_local(gray, cfg):
+    """The pipeline's detector switch (pipeline/sfm.py stage 1 — reference
+    include/Sfm.h:40-61) applied to this host's image shard."""
+    if cfg.detector == "orb":
+        from sfm_danpipeline_tpu.ops.orb import detect_and_compute_orb_batch
+
+        return detect_and_compute_orb_batch(
+            gray, max_keypoints=cfg.max_keypoints
+        )
+    if cfg.detector == "akaze":
+        from sfm_danpipeline_tpu.ops.akaze import (
+            detect_and_compute_akaze_batch,
+        )
+
+        return detect_and_compute_akaze_batch(gray, cfg)
+    from sfm_danpipeline_tpu.ops.sift import detect_and_compute_batch
+
+    return detect_and_compute_batch(gray, cfg)
+
+
+def compute_features_multihost(images, config):
+    """Host-sharded feature extraction: each process detects on ITS
+    contiguous image shard (clip-padded to equal size), then the full
+    Keypoints batch is assembled by process_allgather — the SURVEY §5
+    multi-host input-pipeline rule (each host loads/computes its slice;
+    results replicated). Returns the full (V, K, ...) Keypoints, identical
+    on every process."""
+    V = images.n_images
+    nproc = jax.process_count()
+    per = -(-V // nproc)
+    s = jax.process_index() * per
+    idx = np.clip(np.arange(s, s + per), 0, V - 1)
+    kp_local = _detect_local(jnp.asarray(images.gray[idx]), config.features)
+    # host h's k-th row is image min(h*per+k, V-1), so the first V rows of
+    # the tiled gather are exactly images 0..V-1 in order.
+    return _gather_tiled(kp_local, V)
+
+
+def compute_matches_multihost(kp, n_images: int, config):
+    """Pair-block-sharded matching across processes: the C(V,2) pair list
+    splits into contiguous equal blocks (clip-padded); each host matches
+    its block with the pipeline's exact parameters; the full PairMatches
+    assembles by process_allgather."""
+    from sfm_danpipeline_tpu.ops.matching import match_all_pairs
+    from sfm_danpipeline_tpu.pipeline.sfm import _pair_list
+
+    cfg = config.matching
+    pi, pj = _pair_list(n_images)
+    P = len(pi)
+    nproc = jax.process_count()
+    per = -(-P // nproc)
+    s = jax.process_index() * per
+    idx = np.clip(np.arange(s, s + per), 0, P - 1)
+    loose = max(cfg.ratio, cfg.registration_ratio)
+    m_local = match_all_pairs(
+        kp.descriptors,
+        kp.valid,
+        jnp.asarray(pi[idx]),
+        jnp.asarray(pj[idx]),
+        ratio=loose,
+        max_matches=cfg.max_matches,
+        use_pallas=jax.default_backend() == "tpu",
+        strict_ratio=cfg.ratio,
+        xy=kp.xy,
+        dup_radius=cfg.dup_radius,
+        dedup=cfg.dedup_matches,
+    )
+    return _gather_tiled(m_local, P)
+
+
+def run_sfm_multihost(
+    images,
+    intrinsics,
+    config=None,
+    run_ba_every_view: bool = True,
+    polish_iterations: int = 12,
+):
+    """One-entry multi-host SfM: host-sharded features -> pair-block-sharded
+    matching -> replicated incremental loop (deterministic, so every process
+    holds the identical reconstruction) -> observation-sharded multi-host
+    global BA polish over the final map.
+
+    This is the production form of SURVEY §5's distributed story: the heavy
+    O(V) feature and O(V^2) matching stages split across hosts; the cheap
+    sequential control loop is replicated instead of synchronized; the final
+    global LM reduces per-host normal-equation blocks with psum. Call
+    `initialize()` first on every process. Single-process calls degrade to
+    the plain pipeline plus an extra global polish."""
+    from sfm_danpipeline_tpu.config import PipelineConfig
+    from sfm_danpipeline_tpu.pipeline.sfm import SfMPipeline
+
+    if config is None:
+        config = PipelineConfig()
+
+    kp = compute_features_multihost(images, config)
+    matches = compute_matches_multihost(kp, images.n_images, config)
+    pipe = SfMPipeline(config)
+    result = pipe.run(
+        images,
+        intrinsics,
+        run_ba_every_view=run_ba_every_view,
+        precomputed_keypoints=kp,
+        precomputed_matches=matches,
+    )
+    if not result.registered_views:
+        return result
+
+    # Multi-host global polish: shard the compact observation rows.
+    import dataclasses
+
+    from sfm_danpipeline_tpu.pipeline.tracks import (
+        observation_table_compact,
+    )
+
+    state = result.state
+    pp = jnp.asarray(
+        [intrinsics.cx, intrinsics.cy], jnp.float32
+    )
+    n_pts = int(jnp.sum(state.points_valid))
+    n_obs = int(
+        jnp.sum(
+            (state.track_feat >= 0)
+            & state.points_valid[:, None]
+            & state.camera_valid[None, :]
+        )
+    )
+    if n_pts == 0 or n_obs < 16:
+        return result
+    P = state.track_feat.shape[0]
+    obs_cam, obs_pt, obs_xy, obs_w, overflow = observation_table_compact(
+        state, result.keypoints.xy, pp, n_obs_bucket=n_obs, n_point_bucket=P
+    )
+    nproc = jax.process_count()
+    per = -(-n_obs // nproc)
+    s = jax.process_index() * per
+    idx = np.arange(s, s + per)
+    pad = idx >= n_obs
+    idx = np.clip(idx, 0, n_obs - 1)
+    fix_cam = np.array(~np.asarray(state.camera_valid))
+    fix_cam[result.registered_views[0]] = True  # gauge anchor
+    local = make_problem(
+        cameras=state.cameras,
+        focal=state.focal,
+        points=state.points_xyz,
+        obs_cam=obs_cam[idx],
+        obs_pt=obs_pt[idx],
+        obs_xy=obs_xy[idx],
+        obs_w=jnp.where(jnp.asarray(pad), 0.0, obs_w[idx]),
+        fix_cam=jnp.asarray(fix_cam),
+        fix_focal=True,
+    )
+    res = run_ba_multihost(local, BAConfig(max_iterations=polish_iterations))
+    valid = np.asarray(state.points_valid)
+    state = dataclasses.replace(
+        state,
+        cameras=jnp.asarray(res.cameras),
+        points_xyz=jnp.asarray(res.points),
+    )
+    result = dataclasses.replace(
+        result,
+        state=state,
+        points=np.asarray(res.points)[valid],
+        metrics={
+            **result.metrics,
+            "mh_polish_cost0": float(res.initial_cost),
+            "mh_polish_cost1": float(res.final_cost),
+            "n_processes": float(nproc),
+        },
+    )
+    return result

@@ -365,7 +365,16 @@ class SfMPipeline:
         images: ImageBatch,
         intrinsics: Intrinsics,
         run_ba_every_view: bool = True,
+        precomputed_keypoints: Optional[Keypoints] = None,
+        precomputed_matches=None,
     ) -> SfMResult:
+        """`precomputed_keypoints` / `precomputed_matches` skip the feature
+        and matching stages — the injection point for the multi-host input
+        pipeline (parallel/distributed.run_sfm_multihost: each host computes
+        its image/pair shard, the assembled arrays are identical on every
+        process, and the sequential loop below is replicated control).
+        `precomputed_matches` must be the loose-ratio PairMatches over
+        `_pair_list(V)` order."""
         cfg = self.config
         t_start = time.time()
         metrics: Dict[str, float] = {}
@@ -378,7 +387,9 @@ class SfMPipeline:
         # 1. Features (src/Sfm.cpp:257-327) — whole batch; detector
         # selectable like the reference's int switch (include/Sfm.h:40-61).
         t0 = time.time()
-        if cfg.features.detector == "orb":
+        if precomputed_keypoints is not None:
+            kp = precomputed_keypoints
+        elif cfg.features.detector == "orb":
             from sfm_danpipeline_tpu.ops.orb import (
                 detect_and_compute_orb_batch,
             )
@@ -438,7 +449,9 @@ class SfMPipeline:
         # "flow" selects the reference's LK alternative (src/Sfm.cpp:1399).
         t0 = time.time()
         pi, pj = _pair_list(V)
-        if cfg.matching.method == "flow":
+        if precomputed_matches is not None:
+            matches = precomputed_matches
+        elif cfg.matching.method == "flow":
             from sfm_danpipeline_tpu.ops.flow import flow_match_pair
 
             gray_j = jnp.asarray(images.gray)
