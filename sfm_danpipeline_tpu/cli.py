@@ -64,6 +64,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--checkpoint", default=None,
         help="path to save/load the reconstruction state (resume support)",
     )
+    p.add_argument(
+        "--coordinator", default=None, metavar="HOST:PORT",
+        help="multi-host mode: jax.distributed coordinator address. Launch "
+        "one process per host with identical arguments plus --num-processes/"
+        "--process-id; the sfm stage then runs the host-sharded input "
+        "pipeline + multi-host global BA (parallel/distributed."
+        "run_sfm_multihost)",
+    )
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -77,6 +87,12 @@ def main(argv=None) -> int:
     log = logging.getLogger("cli")
     os.makedirs(args.output, exist_ok=True)
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+
+    if args.coordinator is not None:
+        # Must run before anything initializes a JAX backend.
+        from sfm_danpipeline_tpu.parallel import distributed as D
+
+        D.initialize(args.coordinator, args.num_processes, args.process_id)
 
     import numpy as np
 
@@ -143,10 +159,18 @@ def main(argv=None) -> int:
         with timer.stage("sfm"):
             # checkpoint_path enables per-view mid-run checkpointing AND
             # auto-resume from a previous kill (SURVEY.md §5).
-            res = SfMPipeline(cfg, checkpoint_path=args.checkpoint).run(
-                images, intrinsics,
-                run_ba_every_view=not args.no_ba_every_view,
-            )
+            if args.coordinator is not None:
+                from sfm_danpipeline_tpu.parallel import distributed as D
+
+                res = D.run_sfm_multihost(
+                    images, intrinsics, cfg,
+                    run_ba_every_view=not args.no_ba_every_view,
+                )
+            else:
+                res = SfMPipeline(cfg, checkpoint_path=args.checkpoint).run(
+                    images, intrinsics,
+                    run_ba_every_view=not args.no_ba_every_view,
+                )
         state = res.state
         points, colors = res.points, res.colors
         emit("sfm", res.metrics)
