@@ -165,6 +165,7 @@ def main(argv=None) -> int:
                 res = D.run_sfm_multihost(
                     images, intrinsics, cfg,
                     run_ba_every_view=not args.no_ba_every_view,
+                    checkpoint_path=args.checkpoint,
                 )
             else:
                 res = SfMPipeline(cfg, checkpoint_path=args.checkpoint).run(

@@ -211,6 +211,7 @@ def run_sfm_multihost(
     config=None,
     run_ba_every_view: bool = True,
     polish_iterations: int = 12,
+    checkpoint_path=None,
 ):
     """One-entry multi-host SfM: host-sharded features -> pair-block-sharded
     matching -> replicated incremental loop (deterministic, so every process
@@ -222,7 +223,13 @@ def run_sfm_multihost(
     sequential control loop is replicated instead of synchronized; the final
     global LM reduces per-host normal-equation blocks with psum. Call
     `initialize()` first on every process. Single-process calls degrade to
-    the plain pipeline plus an extra global polish."""
+    the plain pipeline plus an extra global polish.
+
+    `checkpoint_path`: per-view checkpointing, written by process 0 only
+    (the replicated loop is deterministic, so process 0's state is
+    everyone's state). Resume requires the file to be visible to all
+    processes (shared filesystem) — with per-host local paths the resumed
+    prefix still equals what a fresh run computes, by determinism."""
     from sfm_danpipeline_tpu.config import PipelineConfig
     from sfm_danpipeline_tpu.pipeline.sfm import SfMPipeline
 
@@ -230,14 +237,36 @@ def run_sfm_multihost(
         config = PipelineConfig()
 
     kp = compute_features_multihost(images, config)
+    # Canonicalize keypoint xy to ideal pinhole pixels BEFORE matching when
+    # the lens model is nonzero, matching the single-host order
+    # (pipeline/sfm.py stage 1.5): the dup_radius co-location logic inside
+    # matching must see the same coordinates on both paths (ADVICE r3).
+    raw_xy = None
+    if bool(np.any(np.asarray(intrinsics.dist) != 0.0)):
+        from sfm_danpipeline_tpu.ops.projection import undistort_points
+        import dataclasses as _dc
+
+        K = jnp.asarray(intrinsics.K, jnp.float32)
+        raw_xy = np.asarray(kp.xy)
+        xn = undistort_points(kp.xy, K, jnp.asarray(intrinsics.dist, jnp.float32))
+        ideal = jnp.stack(
+            [xn[..., 0] * K[0, 0] + K[0, 2], xn[..., 1] * K[1, 1] + K[1, 2]],
+            axis=-1,
+        )
+        kp = _dc.replace(kp, xy=ideal)
     matches = compute_matches_multihost(kp, images.n_images, config)
-    pipe = SfMPipeline(config)
+    pipe = SfMPipeline(
+        config,
+        checkpoint_path=checkpoint_path if jax.process_index() == 0 else None,
+    )
     result = pipe.run(
         images,
         intrinsics,
         run_ba_every_view=run_ba_every_view,
         precomputed_keypoints=kp,
         precomputed_matches=matches,
+        precomputed_canonical=True,
+        precomputed_raw_xy=raw_xy,
     )
     if not result.registered_views:
         return result
@@ -284,7 +313,9 @@ def run_sfm_multihost(
         obs_xy=obs_xy[idx],
         obs_w=jnp.where(jnp.asarray(pad), 0.0, obs_w[idx]),
         fix_cam=jnp.asarray(fix_cam),
-        fix_focal=True,
+        # Match the single-host final BA's focal policy (pipeline/sfm.py
+        # final global BA): frozen unless the config opts in (ADVICE r3).
+        fix_focal=not config.ba.optimize_focal,
     )
     res = run_ba_multihost(local, BAConfig(max_iterations=polish_iterations))
     valid = np.asarray(state.points_valid)
@@ -292,6 +323,7 @@ def run_sfm_multihost(
         state,
         cameras=jnp.asarray(res.cameras),
         points_xyz=jnp.asarray(res.points),
+        focal=jnp.asarray(res.focal),
     )
     result = dataclasses.replace(
         result,

@@ -367,6 +367,8 @@ class SfMPipeline:
         run_ba_every_view: bool = True,
         precomputed_keypoints: Optional[Keypoints] = None,
         precomputed_matches=None,
+        precomputed_canonical: bool = False,
+        precomputed_raw_xy=None,
     ) -> SfMResult:
         """`precomputed_keypoints` / `precomputed_matches` skip the feature
         and matching stages — the injection point for the multi-host input
@@ -374,7 +376,10 @@ class SfMPipeline:
         its image/pair shard, the assembled arrays are identical on every
         process, and the sequential loop below is replicated control).
         `precomputed_matches` must be the loose-ratio PairMatches over
-        `_pair_list(V)` order."""
+        `_pair_list(V)` order. `precomputed_canonical=True` states the
+        injected keypoint xy are ALREADY ideal pinhole pixels (the caller
+        undistorted them), so the canonicalization below must not run
+        twice; `precomputed_raw_xy` carries the raw detections for viz."""
         cfg = self.config
         t_start = time.time()
         metrics: Dict[str, float] = {}
@@ -429,7 +434,11 @@ class SfMPipeline:
         # reprojection in the LM hot loop. Colors were sampled above at the
         # RAW detections (the images are distorted).
         raw_xy = None
-        if bool(np.any(np.asarray(intrinsics.dist) != 0.0)):
+        if precomputed_canonical:
+            raw_xy = precomputed_raw_xy
+            if bool(np.any(np.asarray(intrinsics.dist) != 0.0)):
+                dist = jnp.zeros_like(dist)
+        elif bool(np.any(np.asarray(intrinsics.dist) != 0.0)):
             from sfm_danpipeline_tpu.ops.projection import undistort_points
 
             raw_xy = np.asarray(kp.xy)

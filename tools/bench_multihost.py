@@ -46,7 +46,9 @@ def one_round():
     return t_feat, time.time() - t0
 
 one_round()  # warmup: compiles
-t_feat, t_match = min(one_round() for _ in range(2))
+rounds = [one_round() for _ in range(2)]
+t_feat = min(r[0] for r in rounds)
+t_match = min(r[1] for r in rounds)
 if pid == 0:
     print(json.dumps({"nproc": nproc, "t_features": t_feat,
                       "t_matching": t_match}), flush=True)
