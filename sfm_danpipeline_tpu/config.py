@@ -182,6 +182,18 @@ class BAConfig:
     local_window: int = 8
     local_ba_min_views: int = 12
     global_ba_every: int = 4
+    # Rotation-averaging initialization before the FINAL global BA once at
+    # least this many views are registered (0 disables). On long/closed
+    # camera rings the incremental chain accumulates rotation drift that
+    # local LM cannot redistribute (it converges to the drifted basin);
+    # chordal averaging over the two-view pose-graph edges (ops/rotavg.py)
+    # re-initializes all rotations jointly, closing the loop. Small scenes
+    # (like the 10-view temple) are below the threshold and unaffected.
+    rotavg_min_views: int = 16
+    # Drop pose-graph edges whose chordal residual exceeds this after the
+    # first averaging round (wrong-basin / outlier relative rotations),
+    # then re-average — one IRLS-style reweighting pass.
+    rotavg_outlier_residual: float = 0.5
     # Optimize the shared focal length. The reference's Ceres code does
     # (BundleAdjustment.cpp:79,133) but its call sites are stubbed out
     # (src/Sfm.cpp:492,886) so it never actually runs; with a calibrated K

@@ -96,3 +96,55 @@ def average_rotations(
     res = R[pair_j] - jnp.einsum("pab,pbc->pac", R_rel, R[pair_i])
     residual = jnp.sqrt(jnp.sum(res * res, axis=(-2, -1)))
     return R, residual
+
+
+@functools.partial(jax.jit, static_argnames=("n_views",))
+def average_translations(
+    pair_i: jnp.ndarray,
+    pair_j: jnp.ndarray,
+    R_abs: jnp.ndarray,  # (V, 3, 3) absolute world->cam rotations
+    t_rel: jnp.ndarray,  # (P, 3) relative translations (x_j = R_ij x_i + t)
+    weights: jnp.ndarray,  # (P,)
+    n_views: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Camera centers from pairwise baseline DIRECTIONS (two-view t is
+    scale-free), given absolute rotations — the translation-averaging half
+    of global pose initialization.
+
+    Each edge constrains the baseline direction: C_j - C_i ∝
+    d_ij = -R_j^T t_ij. Eliminating the per-edge scale turns the objective
+    into  sum_ij w ||(I - d d^T)(C_j - C_i)||^2  — a quadratic form with a
+    3x3-block graph Laplacian, same shape as the chordal rotation problem.
+    Its nullspace holds the 3 global translations plus the structure
+    direction; a mean-center penalty deflates the translations, leaving
+    the centers (up to global sign/scale — align caller-side, e.g. with
+    ops/similarity.umeyama against the current estimate) as the bottom
+    eigenvector. One eigh — dense MXU work, no control flow.
+
+    Returns (C (V, 3) centers up to sign/scale with mean 0, residual (P,)
+    per-edge perpendicular error at unit scene scale).
+    """
+    V = n_views
+    w = weights.astype(jnp.float32)
+    d = -jnp.einsum("pba,pb->pa", R_abs[pair_j], t_rel)
+    d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-12)
+    M = jnp.eye(3)[None] - d[:, :, None] * d[:, None, :]  # (P, 3, 3)
+    Mw = w[:, None, None] * M
+    L = jnp.zeros((V, 3, V, 3), jnp.float32)
+    L = L.at[pair_i, :, pair_i, :].add(Mw)
+    L = L.at[pair_j, :, pair_j, :].add(Mw)
+    L = L.at[pair_i, :, pair_j, :].add(-Mw)
+    L = L.at[pair_j, :, pair_i, :].add(-Mw)
+    Lm = L.reshape(3 * V, 3 * V)
+    # Deflate the global-translation nullspace: penalize the mean center.
+    # ones ⊗ I3 acting on stacked centers computes V * mean.
+    T = jnp.tile(jnp.eye(3), (V, V)) / V  # (3V, 3V), (T C) = mean per block
+    scale = jnp.trace(Lm) / (3 * V) + 1e-6
+    Lm = Lm + scale * T
+    _, vecs = jnp.linalg.eigh(Lm + 1e-9 * jnp.eye(3 * V))
+    C = vecs[:, 0].reshape(V, 3)
+    C = C - jnp.mean(C, axis=0, keepdims=True)
+    C = C / (jnp.linalg.norm(C) + 1e-12)
+    perp = jnp.einsum("pab,pb->pa", M, C[pair_j] - C[pair_i])
+    residual = jnp.linalg.norm(perp, axis=-1)
+    return C, residual

@@ -38,6 +38,16 @@ class PairScores(NamedTuple):
     n_matches: jnp.ndarray  # (NP,)
     usable: jnp.ndarray  # (NP,) >= min_pair_matches, pose ok, not planar
     h_over_e: jnp.ndarray  # (NP,) homography/essential inlier ratio
+    # BOTH basin-diverse relative-pose candidates per edge (camera i ->
+    # camera j) with per-basin inlier support — the pose-graph edges the
+    # global re-initializer consumes (ops/rotavg.py). Narrow-FOV data
+    # makes single-candidate relative rotations wrong-basin on a large
+    # fraction of edges (measured ~35% on a synthetic ring); the
+    # initializer disambiguates each edge against the current incremental
+    # estimate, which is locally accurate even when globally drifted.
+    R_rel: jnp.ndarray  # (NP, 2, 3, 3)
+    t_rel: jnp.ndarray  # (NP, 2, 3) unit-scale relative translations
+    n_inliers: jnp.ndarray  # (NP, 2)
 
 
 def _score_one_pair_core(
@@ -50,12 +60,18 @@ def _score_one_pair_core(
     image_max_dim: jnp.ndarray,
     config: PipelineConfig,
 ):
+    from sfm_danpipeline_tpu.ops.epipolar import (
+        estimate_relative_pose_basins,
+    )
     from sfm_danpipeline_tpu.ops.homography import homography_ransac
 
     x1 = undistort_points(pa, K, dist)
     x2 = undistort_points(pb, K, dist)
     k_e, k_h = jax.random.split(key)
-    pose = estimate_relative_pose(
+    # Both basin candidates; candidate 0 IS estimate_relative_pose's
+    # answer (ops/epipolar.py), so scoring semantics are unchanged while
+    # the alternative basin rides along for the pose-graph initializer.
+    basins = estimate_relative_pose_basins(
         k_e,
         x1,
         x2,
@@ -64,6 +80,7 @@ def _score_one_pair_core(
         threshold_px=config.geometry.essential_threshold_px,
         n_hypotheses=config.geometry.essential_ransac_iters,
     )
+    pose = jax.tree_util.tree_map(lambda a: a[0], basins)
     # Homography check (the reference's findHomographyInliers in pair
     # scoring, src/Sfm.cpp:545,667-689, threshold 0.004*maxdim): when H
     # explains ~as many matches as E, the pair is degenerate for epipolar
@@ -81,7 +98,7 @@ def _score_one_pair_core(
     h_over_e = n_h / jnp.maximum(pose.n_inliers, 1)
     planar = h_over_e > config.geometry.max_seed_h_over_e
     usable = (n >= config.matching.min_pair_matches) & pose.ok & ~planar
-    return ratio, n, usable, h_over_e
+    return ratio, n, usable, h_over_e, basins.R, basins.t, basins.n_inliers
 
 
 _score_one_pair = jax.jit(_score_one_pair_core, static_argnames=("config",))
@@ -116,12 +133,17 @@ def score_pairs(
         k, m, i, j = inp
         pa = keypoints_xy[i, m.idx_a]
         pb = keypoints_xy[j, m.idx_b]
-        ratio, n, usable, h_over_e = _score_one_pair_core(
-            k, m, pa, pb, K, dist, image_max_dim, config
+        ratio, n, usable, h_over_e, R_rel, t_rel, n_inl = (
+            _score_one_pair_core(
+                k, m, pa, pb, K, dist, image_max_dim, config
+            )
         )
-        return None, (ratio, n.astype(jnp.int32), usable, h_over_e)
+        return None, (
+            ratio, n.astype(jnp.int32), usable, h_over_e, R_rel, t_rel,
+            n_inl.astype(jnp.int32),
+        )
 
-    _, (ratios, ns, usables, h_over_e) = jax.lax.scan(
+    _, (ratios, ns, usables, h_over_e, R_rel, t_rel, n_inl) = jax.lax.scan(
         body, None, (keys, matches, pair_i, pair_j)
     )
     return PairScores(
@@ -129,6 +151,9 @@ def score_pairs(
         n_matches=ns,
         usable=usables,
         h_over_e=h_over_e,
+        R_rel=R_rel,
+        t_rel=t_rel,
+        n_inliers=n_inl,
     )
 
 

@@ -60,6 +60,50 @@ epipolar_filter_matches = jax.jit(
 )
 
 
+@functools.partial(jax.jit, static_argnames=("config", "n_views"))
+def epipolar_prefilter_table(
+    key: jax.Array,
+    idx_a: jnp.ndarray,  # (P, M) loose-match feature ids in view pair_i
+    idx_b: jnp.ndarray,  # (P, M)
+    valid: jnp.ndarray,  # (P, M)
+    keypoints_xy: jnp.ndarray,  # (V, K, 2)
+    pair_i: jnp.ndarray,  # (P,)
+    pair_j: jnp.ndarray,  # (P,)
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    config: PipelineConfig,
+    n_views: int,
+) -> jnp.ndarray:
+    """Two-view epipolar consensus for EVERY pair, batched in one dispatch.
+
+    The per-view registration prefilter (_epipolar_filter_core) depends
+    only on the match tables — not on reconstruction state — so running it
+    per (new_view, done_view) inside every registration re-derived the
+    same consensus D times per view, serially (a lax.scan of 128-hypothesis
+    8-point RANSACs was the incremental stage's dominant compute,
+    ROUND3_NOTES r3: ~340 ms/view). Here all P pairs RANSAC at once
+    (vmapped: one batched eigh instead of P*D sequential ones) and the
+    result scatters into the oriented (V, V, M) validity table that
+    register_view consumes directly.
+
+    Reference analogue: prunedMatchingWithHomography applied before use
+    (src/Sfm.cpp:610-662,725), hoisted out of the loop.
+    """
+    P = pair_i.shape[0]
+    keys = jax.random.split(key, P)
+
+    def one(k, ia, ib, v, i, j):
+        pn = keypoints_xy[i, ia]
+        pd = keypoints_xy[j, ib]
+        return _epipolar_filter_core(k, pn, pd, v, K, dist, config)
+
+    filt = jax.vmap(one)(keys, idx_a, idx_b, valid, pair_i, pair_j)
+    out = jnp.zeros((n_views, n_views, idx_a.shape[1]), bool)
+    out = out.at[pair_i, pair_j].set(filt)
+    out = out.at[pair_j, pair_i].set(filt)
+    return out
+
+
 def build_match_tables(
     matches: PairMatches,
     pair_i: jnp.ndarray,  # (P,) int32
@@ -105,37 +149,19 @@ def register_view(
     where n_support is the 2D-3D correspondence count PnP had to work with
     (the starvation diagnostic for views past a viewpoint break).
 
-    Each done view's matches are first pruned to their two-view epipolar
-    consensus (the non-planar analogue of the reference's homography
-    pruning, src/Sfm.cpp:610-662): at wide baselines the raw ratio-test
-    match sets run >50% outliers and unfiltered PnP starves. The pruning
-    RANSAC runs as a `lax.scan` over the done axis inside this one jit —
-    one compile of the body, no per-view dispatch round-trips.
+    `valid_tab` must be the EPIPOLAR-PREFILTERED loose table
+    (epipolar_prefilter_table): at wide baselines the raw ratio-test match
+    sets run >50% outliers and unfiltered PnP starves. The consensus
+    depends only on the match tables, so it is computed once for all pairs
+    up front — not re-derived per registration (the r3 form ran a
+    lax.scan of per-done-view RANSACs here, the incremental stage's
+    dominant compute).
     """
     dv_c = jnp.clip(done_views, 0)
     match_feat_new = feat_tab_a[new_view, dv_c]  # (D, M)
     match_feat_done = feat_tab_b[new_view, dv_c]
     match_valid = valid_tab[new_view, dv_c] & (done_views >= 0)[:, None]
     D, M = match_feat_new.shape
-
-    key, k_filter = jax.random.split(key)
-    fkeys = jax.random.split(k_filter, D)
-
-    def filter_one(d_idx_and_key):
-        k, d_idx = d_idx_and_key
-        fn = match_feat_new[d_idx]
-        fd = match_feat_done[d_idx]
-        pn = keypoints_xy[new_view, fn]
-        pd_px = keypoints_xy[dv_c[d_idx], fd]
-        return _epipolar_filter_core(
-            k, pn, pd_px, match_valid[d_idx], K, dist, config
-        )
-
-    _, match_valid = jax.lax.scan(
-        lambda c, x: (c, filter_one(x)),
-        None,
-        (fkeys, jnp.arange(D)),
-    )
 
     def collect(d_idx):
         dv = done_views[d_idx]

@@ -32,6 +32,7 @@ from sfm_danpipeline_tpu.pipeline.bootstrap import (
 )
 from sfm_danpipeline_tpu.pipeline.incremental import (
     build_match_tables,
+    epipolar_prefilter_table,
     register_and_triangulate,
     triangulate_new_view_all,
 )
@@ -549,6 +550,14 @@ class SfMPipeline:
         pi_j, pj_j = jnp.asarray(pi), jnp.asarray(pj)
         ft_a, ft_b, vt_loose = build_match_tables(matches, pi_j, pj_j, V)
         _, _, vt_strict = build_match_tables(strict, pi_j, pj_j, V)
+        # Epipolar consensus for every pair, ONCE (one batched dispatch):
+        # registration consumes the pre-filtered loose table instead of
+        # re-deriving the consensus per (new, done) pair inside every
+        # per-view step (r3's dominant incremental-stage compute).
+        vt_loose = epipolar_prefilter_table(
+            jax.random.fold_in(key, 0x9E1F), matches.idx_a, matches.idx_b,
+            matches.valid, kp.xy, pi_j, pj_j, K, dist, cfg, V,
+        )
         tables = (ft_a, ft_b, vt_strict, vt_loose)
         keys = jax.random.split(k_reg, V * 32)
         self._key_n = 0
@@ -780,7 +789,22 @@ class SfMPipeline:
 
         # 5. Final global BA (the reference's intended adjustCurrentBundle,
         # src/Sfm.cpp:883-888, with Ceres semantics from BundleAdjustment.cpp).
+        # On long sequences, re-initialize rotations by chordal averaging
+        # over the scored pose-graph edges first (loop-closure support —
+        # incremental chains drift and LM alone converges to the drifted
+        # basin; ops/rotavg.py).
         t0 = time.time()
+        if (
+            self.config.ba.rotavg_min_views
+            and len(done) >= self.config.ba.rotavg_min_views
+        ):
+            state = self._rotavg_initialize(
+                state, done, scores, pi_j, pj_j, tables, kp, colors, pp,
+                K, dist,
+            )
+            state = self._run_global_ba(
+                state, kp, pp, anchor=vi, intermediate=True
+            )
         state, ba_metrics = self._run_global_ba(
             state, kp, pp, anchor=vi, return_metrics=True
         )
@@ -1035,6 +1059,160 @@ class SfMPipeline:
             out = [v for v in range(V) if v not in done and v not in failed]
         return out
 
+    def _rotavg_initialize(
+        self, state, done: set, scores, pair_i, pair_j, tables, kp,
+        colors, pp, K, dist,
+    ) -> ReconstructionState:
+        """Global pose re-initialization from the two-view pose graph
+        (loop closure; VERDICT r3 directive #8).
+
+        On long/closed camera chains the incremental odometry drifts, and
+        the drifted map carries two poisons LM alone cannot cure: poses in
+        the wrong basin, and loop-closing observations that were either
+        rejected at triangulation or pruned (their reprojection through
+        drifted poses exceeded every gate). The global-SfM initializer
+        fixes both:
+
+          1. chordal rotation averaging over the scored pair edges
+             (ops/rotavg.average_rotations), one outlier re-average;
+          2. translation averaging from the pairwise baseline directions
+             under the new rotations (ops/rotavg.average_translations),
+             aligned to the current centers by scalar scale+translation
+             ONLY (the rotational gauge is already pinned by Procrustes —
+             a full similarity here would undo it);
+          3. multi-view DLT re-triangulation of every track under the new
+             poses (tracks.retriangulate_points);
+          4. a re-fuse sweep: triangulate each registered view against all
+             others to recreate the dropped loop-closing tracks.
+
+        The caller follows with an intermediate + final LM polish. The
+        reference has no analogue (its loop never closes,
+        src/Sfm.cpp:893-1009)."""
+        from sfm_danpipeline_tpu.ops.lie import exp_so3, log_so3
+        from sfm_danpipeline_tpu.ops.rotavg import (
+            average_rotations,
+            average_translations,
+            project_so3,
+        )
+        from sfm_danpipeline_tpu.pipeline.tracks import (
+            retriangulate_points,
+        )
+
+        V = state.n_views
+        reg = np.zeros(V, bool)
+        reg[sorted(done)] = True
+        reg_j = jnp.asarray(reg)
+        # Per-edge basin disambiguation against the CURRENT estimate: the
+        # incremental chain is locally accurate (drift accumulates over
+        # many views) while the two epipolar basins differ by tens of
+        # degrees, so the nearer candidate is the right one. A
+        # single-candidate pose graph ran ~35% wrong-basin edges on
+        # narrow-FOV data and averaging diverged.
+        R_cur0 = jax.vmap(exp_so3)(state.cameras[:, :3])
+        R_cur_rel = jnp.einsum(
+            "pab,pcb->pac", R_cur0[pair_j], R_cur0[pair_i]
+        )  # R_j R_i^T
+        dRb = jnp.einsum(
+            "pkab,pcb->pkac", scores.R_rel, R_cur_rel
+        )  # (P, 2, 3, 3) candidate vs current
+        trb = jnp.clip(
+            (jnp.trace(dRb, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0
+        )
+        basin = jnp.argmax(trb, axis=-1)  # nearest candidate per edge
+        take = lambda a: jnp.take_along_axis(  # noqa: E731
+            a, basin.reshape((-1,) + (1,) * (a.ndim - 1)), axis=1
+        )[:, 0]
+        R_rel = take(scores.R_rel)
+        t_rel = take(scores.t_rel)
+        n_inl = take(scores.n_inliers)
+        w = (
+            n_inl.astype(jnp.float32)
+            * scores.usable
+            * reg_j[pair_i]
+            * reg_j[pair_j]
+        )
+        if int(jnp.sum(w > 0)) < len(done):
+            log.info("rotavg: pose graph too thin — skipping")
+            return state
+        R_avg, res = average_rotations(
+            pair_i, pair_j, R_rel, w, n_views=V
+        )
+        # Reject outlier edges and re-average — two IRLS rounds with a
+        # tightening residual gate (chordal 0.5 ~ 20 deg, then half).
+        w2 = w
+        for thr in (
+            self.config.ba.rotavg_outlier_residual,
+            0.5 * self.config.ba.rotavg_outlier_residual,
+        ):
+            w_new = w2 * (res <= thr)
+            if int(jnp.sum(w_new > 0)) < len(done):
+                break
+            w2 = w_new
+            R_avg, res = average_rotations(
+                pair_i, pair_j, R_rel, w2, n_views=V
+            )
+        # Rotational gauge: Procrustes onto the current estimate.
+        R_cur = jax.vmap(exp_so3)(state.cameras[:, :3])
+        G = project_so3(
+            jnp.sum(
+                jnp.where(
+                    reg_j[:, None, None],
+                    jnp.einsum("vij,vik->vjk", R_avg, R_cur),
+                    0.0,
+                ),
+                axis=0,
+            )
+        )
+        R_new = R_avg @ G
+        # Translation averaging under the NEW rotations; scalar gauge fit.
+        C_avg, _ = average_translations(
+            pair_i, pair_j, R_new, t_rel, w2, n_views=V
+        )
+        C_cur = -jnp.einsum("vij,vi->vj", R_cur, state.cameras[:, 3:])
+        nreg = jnp.sum(reg_j)
+        mean_a = jnp.sum(jnp.where(reg_j[:, None], C_avg, 0.0), 0) / nreg
+        mean_c = jnp.sum(jnp.where(reg_j[:, None], C_cur, 0.0), 0) / nreg
+        da = jnp.where(reg_j[:, None], C_avg - mean_a, 0.0)
+        dc = jnp.where(reg_j[:, None], C_cur - mean_c, 0.0)
+        s = jnp.sum(da * dc) / jnp.maximum(jnp.sum(da * da), 1e-12)
+        C_new = s * (C_avg - mean_a) + mean_c
+        t_new = -jnp.einsum("vij,vj->vi", R_new, C_new)
+        aa_new = jax.vmap(log_so3)(R_new)
+        cams_new = jnp.concatenate([aa_new, t_new], axis=-1)
+        cameras = jnp.where(reg_j[:, None], cams_new, state.cameras)
+        # Diagnostics: rotation and center corrections.
+        dR = jnp.einsum("vij,vik->vjk", R_new, R_cur)
+        tr = jnp.clip((jnp.trace(dR, axis1=-2, axis2=-1) - 1) / 2, -1, 1)
+        ang = jnp.degrees(jnp.arccos(tr))
+        dC = jnp.linalg.norm(C_new - C_cur, axis=-1)
+        log.info(
+            "global reinit over %d views / %d edges: max rotation "
+            "correction %.2f deg, max center shift %.3f",
+            len(done), int(jnp.sum(w2 > 0)),
+            float(jnp.max(jnp.where(reg_j, ang, 0.0))),
+            float(jnp.max(jnp.where(reg_j, dC, 0.0))),
+        )
+        state = dataclasses.replace(state, cameras=cameras)
+        # Structure refresh + re-fuse sweep (recreates the loop-closing
+        # tracks that drift had rejected/pruned).
+        K_cur = jnp.asarray(
+            [[state.focal, 0.0, pp[0]],
+             [0.0, state.focal, pp[1]],
+             [0.0, 0.0, 1.0]]
+        )
+        state = retriangulate_points(state, kp.xy, K_cur)
+        ft_a, ft_b, vt_strict, _ = tables
+        dv = np.full((V,), -1, np.int32)
+        dv[: len(done)] = sorted(done)
+        dv_j = jnp.asarray(dv)
+        for v in sorted(done):
+            state, _ = triangulate_new_view_all(
+                state, jnp.asarray(v, jnp.int32), dv_j, ft_a, ft_b,
+                vt_strict, kp.xy, colors, K, dist, self.config,
+            )
+        return state
+
+    # ------------------------------------------------------------------
     def _ba_final_sharded(
         self, state, kp, pp, fix, n_bucket: int, n_obs_bucket: int
     ):

@@ -225,6 +225,66 @@ def find_2d3d(
 
 
 @jax.jit
+def retriangulate_points(
+    state: ReconstructionState,
+    keypoints_xy: jnp.ndarray,  # (V, K, 2) canonical ideal pixels
+    K: jnp.ndarray,
+) -> ReconstructionState:
+    """Re-estimate every point by multi-view DLT from its track under the
+    CURRENT poses — the structure refresh after a global pose
+    re-initialization (rotation/translation averaging): the old points
+    were triangulated in the drifted gauge and would anchor LM back to it.
+
+    Batched: per-(point, view) homogeneous DLT rows accumulate into one
+    (P, 4, 4) normal-matrix batch, solved by eigh (smallest eigenvector).
+    Points with <2 live observations or a degenerate solve keep their
+    previous position.
+    """
+    P, V = state.track_feat.shape
+    has = (
+        (state.track_feat >= 0)
+        & state.camera_valid[None, :]
+        & state.points_valid[:, None]
+    )
+    feat = jnp.clip(state.track_feat, 0)
+    xy = keypoints_xy[jnp.arange(V)[None, :], feat]  # (P, V, 2)
+    # Normalized camera coords (keypoints are canonical ideal pixels).
+    xn = (xy[..., 0] - K[0, 2]) / K[0, 0]
+    yn = (xy[..., 1] - K[1, 2]) / K[1, 1]
+    from sfm_danpipeline_tpu.ops.lie import exp_so3
+
+    R = jax.vmap(exp_so3)(state.cameras[:, :3])  # (V, 3, 3)
+    t = state.cameras[:, 3:]  # (V, 3)
+    Pm = jnp.concatenate([R, t[:, :, None]], axis=-1)  # (V, 3, 4)
+    # DLT rows: x * P3 - P1, y * P3 - P2  (per point, view).
+    r1 = xn[..., None] * Pm[None, :, 2, :] - Pm[None, :, 0, :]  # (P, V, 4)
+    r2 = yn[..., None] * Pm[None, :, 2, :] - Pm[None, :, 1, :]
+    w = has.astype(jnp.float32)[..., None]
+    ATA = jnp.einsum("pva,pvb->pab", r1 * w, r1) + jnp.einsum(
+        "pva,pvb->pab", r2 * w, r2
+    )
+    _, vecs = jnp.linalg.eigh(ATA)
+    h = vecs[..., 0]  # (P, 4) smallest-eigenvalue vector
+    ok_h = jnp.abs(h[:, 3]) > 1e-9
+    X = h[:, :3] / jnp.where(ok_h, h[:, 3], 1.0)[:, None]
+    n_obs = jnp.sum(has, axis=1)
+    # Cheirality: the point must sit in front of most observing cameras.
+    z = jnp.einsum("vj,pj->pv", R[:, 2, :], X) + t[None, :, 2]
+    front = jnp.sum((z > 0) & has, axis=1)
+    use = (
+        state.points_valid
+        & ok_h
+        & (n_obs >= 2)
+        & (front * 2 >= n_obs)
+        & jnp.all(jnp.isfinite(X), axis=-1)
+    )
+    return dataclasses.replace(
+        state,
+        points_xyz=jnp.where(use[:, None], X, state.points_xyz),
+    )
+
+
+@jax.jit
 def prune_observations(
     state: ReconstructionState,
     keypoints_xy: jnp.ndarray,
