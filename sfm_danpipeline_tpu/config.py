@@ -127,8 +127,14 @@ class GeometryConfig:
     pnp_max_translation: float = 200.0
     # Minimum PnP inlier support to accept a registration. The reference
     # accepts whatever solvePnPRansac returns; a near-minimal consensus
-    # (<~12 points) is almost always a mirage that corrupts the map.
-    pnp_min_inliers: int = 12
+    # is almost always a mirage that corrupts the map. 30 (r4, was 12):
+    # healthy registrations run 250-430 inliers on temple while marginal
+    # cross-break bridges max out near ~12 — and a 12-inlier direct
+    # registration measured WORSE than leaving the view to the verified
+    # secondary-component + Sim(3) path (it steals a view from the
+    # component seed and the remainder can't merge; seed-sweep seeds 2-3,
+    # and a 23-27-inlier chain bent the map measurably on seed 2).
+    pnp_min_inliers: int = 30
     # Point-merge radius during incremental growth (reference src/Sfm.cpp:1216: 0.01).
     merge_distance: float = 0.01
     # Minimum median triangulation angle (deg) for a two-view SEED
@@ -215,6 +221,13 @@ class MVSConfig:
     n_depth_planes: int = 128
     window_size: int = 7
     ncc_threshold: float = 0.7
+    # Depth kernel: "rectified" = stereo-rectified sweep (constant
+    # disparity per plane — slices instead of per-depth gathers, the
+    # TPU-fast path, mvs/rectsweep.py); "sweep" = direct plane sweep
+    # (homography warp per depth, mvs/planesweep.py — the r3 kernel,
+    # kept as the reference implementation the rectified path is
+    # validated against in tests/test_mvs.py).
+    method: str = "rectified"
     # Half-resolution depth maps (PMVS2 level 1 == one pyramid level down).
     level: int = 1
     # Minimum consistent views for a fused point (PMVS2 minImageNum=5 with N=10;

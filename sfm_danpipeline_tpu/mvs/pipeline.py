@@ -104,6 +104,7 @@ def densify(
     pts_valid = np.asarray(state.points_valid)
 
     depth_maps = np.zeros((V, H, W), np.float32)
+    coverage: List[float] = []
     min_consistent = min(
         config.min_consistent_views, max(2, len(registered) - 1)
     )
@@ -120,30 +121,53 @@ def densify(
             pts @ np.asarray(R_all[r]).T[:, 2] + float(t_all[r, 2])
         )
         z = np.where(pts_valid, z, -1.0)
-        depths = make_depth_hypotheses(
-            jnp.asarray(z), config.n_depth_planes
-        )
         # Source-from-reference transforms.
         R_rs = jnp.stack([R_all[s] @ R_all[r].T for s in srcs])
         t_rs = jnp.stack(
             [t_all[s] - R_all[s] @ R_all[r].T @ t_all[r] for s in srcs]
         )
-        dm = sweep_depth_map(
-            gray[r],
-            gray[jnp.asarray(srcs)],
-            K,
-            R_rs,
-            t_rs,
-            jnp.ones(len(srcs), bool),
-            depths,
-            min_score=config.ncc_threshold,
-            window=config.window_size,
-        )
+        if config.method == "rectified":
+            from sfm_danpipeline_tpu.mvs.rectsweep import (
+                rect_sweep_depth_map,
+            )
+
+            zv = z[z > 0]
+            lo = float(np.percentile(zv, 5.0)) if len(zv) else 1.0
+            hi = float(np.percentile(zv, 95.0)) if len(zv) else 10.0
+            dm = rect_sweep_depth_map(
+                gray[r],
+                gray[jnp.asarray(srcs)],
+                K,
+                R_rs,
+                t_rs,
+                jnp.ones(len(srcs), bool),
+                jnp.asarray(max(0.6 * lo, 1e-3), jnp.float32),
+                jnp.asarray(1.4 * hi, jnp.float32),
+                min_score=config.ncc_threshold,
+                n_depths=config.n_depth_planes,
+                window=config.window_size,
+            )
+        else:
+            depths = make_depth_hypotheses(
+                jnp.asarray(z), config.n_depth_planes
+            )
+            dm = sweep_depth_map(
+                gray[r],
+                gray[jnp.asarray(srcs)],
+                K,
+                R_rs,
+                t_rs,
+                jnp.ones(len(srcs), bool),
+                depths,
+                min_score=config.ncc_threshold,
+                window=config.window_size,
+            )
         depth_maps[r] = np.asarray(dm.depth)
+        coverage.append(float((np.asarray(dm.depth) > 0).mean()))
         log.info(
             "view %d: %.0f%% pixels pass NCC>=%.2f",
             r,
-            100.0 * float((dm.depth > 0).mean()),
+            100.0 * coverage[-1],
             config.ncc_threshold,
         )
 
@@ -175,6 +199,11 @@ def densify(
     metrics = {
         "n_dense_points": float(len(points)),
         "n_views_swept": float(len(registered)),
+        # Mean fraction of pixels whose depth passed the photometric
+        # threshold + source consensus — the per-view confidence number
+        # the bench's dense gate reads (PMVS2 threshold semantics,
+        # src/Sfm.cpp:1258-1264).
+        "depth_coverage": float(np.mean(coverage)) if coverage else 0.0,
         "t_dense": time.time() - t_start,
     }
     log.info(

@@ -1,0 +1,231 @@
+"""Rectified plane sweep: the TPU-native dense-depth kernel.
+
+The r3 plane sweep (mvs/planesweep.py) warped the source image once PER
+DEPTH HYPOTHESIS — D x H x W bilinear gathers per source view — and TPU
+gathers made it slower than 2 vCPUs (72 s vs 30 s, VERDICT r3 weak #5;
+the reference's PMVS2 stage is src/Sfm.cpp:62-67,1246-1303). Per-element
+gathers are the one memory pattern the TPU cannot do fast, in XLA or in
+Pallas (vector loads are slices, not gathers).
+
+Stereo rectification removes them: rotate both cameras of a (ref, src)
+pair about their centers so the baseline becomes the shared x-axis
+(Fusiello's method — pure rotation homographies, no reprojection error).
+In the rectified frames a fronto-parallel plane at rectified depth z
+projects with a CONSTANT disparity d = f*B/z, so the whole depth sweep
+becomes D horizontally-shifted ZNCC evaluations — shifts are slices
+(VPU work), and the only gathers left are TWO rotation-homography warps
+per pair plus one depth-map transport back to the reference frame:
+a (2 + 1/D) / (D) ~ 64x gather reduction at D=128.
+
+Per source the depth estimate lands back in the REFERENCE frame; sources
+combine by score-gated median + agreement count. Cross-VIEW consistency
+stays in mvs/fusion.py, matching PMVS2's minImageNum semantics
+(src/Sfm.cpp:1258-1264).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_danpipeline_tpu.mvs.planesweep import DepthMap, _window_mean
+from sfm_danpipeline_tpu.ops.interp import bilinear_sample
+
+
+def rectifying_rotation(C: jnp.ndarray) -> jnp.ndarray:
+    """Rotation R_rect (rect-from-ref) for a source with center C in the
+    reference camera frame (Fusiello): new x = baseline direction, new z
+    as close to the old optical axis as orthogonality allows."""
+    e1 = C / (jnp.linalg.norm(C) + 1e-12)
+    z_old = jnp.asarray([0.0, 0.0, 1.0])
+    e2 = jnp.cross(z_old, e1)
+    n2 = jnp.linalg.norm(e2)
+    # Baseline ~parallel to the optical axis: rectification degenerates
+    # (epipole inside the image); caller masks such sources via `usable`.
+    e2 = jnp.where(n2 > 1e-6, e2 / (n2 + 1e-12), jnp.asarray([0.0, 1.0, 0.0]))
+    e3 = jnp.cross(e1, e2)
+    return jnp.stack([e1, e2, e3])
+
+
+def _rotation_warp(img: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray):
+    """Sample `img` so output pixel p shows the scene along ray
+    R^T K^-1 p — the pure-rotation homography warp H = K R^T K^-1 read
+    backwards (output <- input). Returns (warped, inside_mask)."""
+    H_px, W_px = img.shape
+    ys, xs = jnp.mgrid[0:H_px, 0:W_px]
+    M = K @ R.T @ jnp.linalg.inv(K)
+    xh = M[0, 0] * xs + M[0, 1] * ys + M[0, 2]
+    yh = M[1, 0] * xs + M[1, 1] * ys + M[1, 2]
+    wh = M[2, 0] * xs + M[2, 1] * ys + M[2, 2]
+    wh = jnp.where(jnp.abs(wh) < 1e-9, 1e-9, wh)
+    u = xh / wh
+    v = yh / wh
+    inside = (u >= 0) & (u <= W_px - 1) & (v >= 0) & (v <= H_px - 1)
+    return bilinear_sample(img, u, v), inside
+
+
+def _shift_x(img: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
+    """img sampled at (x - disp) along rows, fractional disp, zero-pad.
+    Pure slice arithmetic: roll by floor and floor+1, linear blend."""
+    W_px = img.shape[-1]
+    d0 = jnp.floor(disp).astype(jnp.int32)
+    frac = disp - d0.astype(disp.dtype)
+    xs = jnp.arange(W_px)
+
+    def roll_mask(d):
+        src = xs - d
+        ok = (src >= 0) & (src < W_px)
+        return jnp.where(ok, jnp.roll(img, d, axis=-1), 0.0), ok
+
+    a, ok_a = roll_mask(d0)
+    b, ok_b = roll_mask(d0 + 1)
+    return (1.0 - frac) * a + frac * b, ok_a & ok_b
+
+
+@functools.partial(jax.jit, static_argnames=("window", "n_depths"))
+def rect_sweep_pair(
+    ref: jnp.ndarray,  # (H, W) reference gray
+    src: jnp.ndarray,  # (H, W) source gray
+    K: jnp.ndarray,
+    R_rs: jnp.ndarray,  # source-from-reference rotation
+    t_rs: jnp.ndarray,
+    z_lo: jnp.ndarray,  # scalar rectified-depth range bounds
+    z_hi: jnp.ndarray,
+    n_depths: int = 128,
+    window: int = 7,
+):
+    """Depth from ONE (ref, src) pair via rectified sweep.
+
+    Returns (depth (H, W) in the REFERENCE frame, zncc score (H, W)).
+    """
+    C = -R_rs.T @ t_rs  # source center in ref frame
+    B = jnp.linalg.norm(C) + 1e-12
+    R_rect = rectifying_rotation(C)
+    # Rectified source orientation shares R_rect's axes: rect_src-from-src.
+    R_rect_src = R_rect @ R_rs.T
+
+    rref, in_r = _rotation_warp(ref, K, R_rect)
+    rsrc, in_s = _rotation_warp(src, K, R_rect_src)
+
+    f = K[0, 0]
+    inv = jnp.linspace(1.0 / z_hi, 1.0 / z_lo, n_depths)
+    disps = f * B * inv  # (D,) constant disparity per rectified depth
+
+    ref_mean = _window_mean(rref, window)
+    ref_zm = rref - ref_mean
+    ref_var = _window_mean(ref_zm * ref_zm, window)
+
+    def one_disp(d):
+        s, ok = _shift_x(rsrc, d)
+        s_mean = _window_mean(s, window)
+        s_zm = s - s_mean
+        s_var = _window_mean(s_zm * s_zm, window)
+        cov = _window_mean(ref_zm * s_zm, window)
+        zncc = cov / jnp.sqrt(jnp.maximum(ref_var * s_var, 1e-10))
+        return jnp.where(ok & in_r, zncc, -1.0)
+
+    cost = jax.vmap(one_disp)(disps)  # (D, H, W)
+    best = jnp.argmax(cost, axis=0)
+    score = jnp.max(cost, axis=0)
+    # Parabolic sub-plane refinement in inverse depth.
+    ip = jnp.clip(best + 1, 0, n_depths - 1)
+    im = jnp.clip(best - 1, 0, n_depths - 1)
+    cp = jnp.take_along_axis(cost, ip[None], axis=0)[0]
+    cm = jnp.take_along_axis(cost, im[None], axis=0)[0]
+    denom = cm - 2 * score + cp
+    delta = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (cm - cp) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    inv_step = (inv[-1] - inv[0]) / jnp.maximum(n_depths - 1, 1)
+    inv_best = jnp.take(inv, best) + delta * inv_step
+    z_rect = 1.0 / jnp.maximum(inv_best, 1e-9)
+
+    # Transport the rectified depth map back to the reference frame: ref
+    # pixel q looks along dir_ref = K^-1 q; its rectified pixel is
+    # K R_rect dir_ref; the 3D point is z_rect * K^-1 p_rect in rect
+    # coords, whose ref-frame z is the depth fuse_view expects.
+    H_px, W_px = ref.shape
+    ys, xs = jnp.mgrid[0:H_px, 0:W_px]
+    M = K @ R_rect @ jnp.linalg.inv(K)  # ref pixel -> rect pixel
+    xh = M[0, 0] * xs + M[0, 1] * ys + M[0, 2]
+    yh = M[1, 0] * xs + M[1, 1] * ys + M[1, 2]
+    wh = M[2, 0] * xs + M[2, 1] * ys + M[2, 2]
+    wh = jnp.where(jnp.abs(wh) < 1e-9, 1e-9, wh)
+    u = xh / wh
+    v = yh / wh
+    inside = (u >= 0) & (u <= W_px - 1) & (v >= 0) & (v <= H_px - 1)
+    z_r = bilinear_sample(z_rect, u, v)
+    s_r = bilinear_sample(score, u, v)
+    # Rect-frame ray through (u, v) at depth z_r -> ref-frame z component.
+    dirx = (u - K[0, 2]) / K[0, 0]
+    diry = (v - K[1, 2]) / K[1, 1]
+    # X_ref = R_rect^T @ (z * [dirx, diry, 1])
+    z_ref = z_r * (
+        R_rect[0, 2] * dirx + R_rect[1, 2] * diry + R_rect[2, 2]
+    )
+    ok = inside & (z_ref > 0)
+    return jnp.where(ok, z_ref, 0.0), jnp.where(ok, s_r, -1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "n_depths"))
+def rect_sweep_depth_map(
+    ref: jnp.ndarray,  # (H, W)
+    srcs: jnp.ndarray,  # (S, H, W)
+    K: jnp.ndarray,
+    R_rs: jnp.ndarray,  # (S, 3, 3)
+    t_rs: jnp.ndarray,  # (S, 3)
+    src_valid: jnp.ndarray,  # (S,)
+    z_lo: jnp.ndarray,
+    z_hi: jnp.ndarray,
+    min_score: float = 0.7,
+    n_depths: int = 128,
+    window: int = 7,
+    agree_frac: float = 0.03,
+) -> DepthMap:
+    """Multi-source rectified sweep with per-pixel source consensus.
+
+    Each source contributes an independent (depth, score) estimate in the
+    reference frame; pixels keep the score-gated MEDIAN depth of the
+    qualifying sources when >=2 of them agree within `agree_frac` of the
+    median (PMVS2's photometric threshold 0.7 + multi-image support,
+    src/Sfm.cpp:1258-1264). Single-source pixels survive only on a
+    stricter score, which suppresses the classic occlusion artifacts.
+    """
+    # Degenerate-baseline guard: source centers nearly along the optical
+    # axis cannot rectify.
+    C = -jnp.einsum("sji,sj->si", R_rs, t_rs)
+    e1 = C / (jnp.linalg.norm(C, axis=-1, keepdims=True) + 1e-12)
+    ok_geom = jnp.abs(e1[:, 2]) < 0.99
+
+    depth_s, score_s = jax.vmap(
+        lambda s, R, t: rect_sweep_pair(
+            ref, s, K, R, t, z_lo, z_hi, n_depths=n_depths, window=window
+        )
+    )(srcs, R_rs, t_rs)  # (S, H, W) each
+    usable = (src_valid & ok_geom)[:, None, None]
+    qual = usable & (score_s >= min_score) & (depth_s > 0)
+
+    big = 1e9
+    d_for_med = jnp.where(qual, depth_s, jnp.nan)
+    med = jnp.nanmedian(d_for_med, axis=0)  # (H, W)
+    med = jnp.nan_to_num(med, nan=0.0)
+    agree = qual & (
+        jnp.abs(depth_s - med[None]) <= agree_frac * jnp.maximum(med, 1e-9)
+    )
+    n_agree = jnp.sum(agree, axis=0)
+    mean_score = jnp.sum(jnp.where(agree, score_s, 0.0), axis=0) / jnp.maximum(
+        n_agree, 1
+    )
+    # Single-source fallback at a stricter photometric bar.
+    best_s = jnp.max(jnp.where(qual, score_s, -big), axis=0)
+    best_i = jnp.argmax(jnp.where(qual, score_s, -big), axis=0)
+    d_best = jnp.take_along_axis(depth_s, best_i[None], axis=0)[0]
+    strict = jnp.minimum(0.5 * (1.0 + min_score), 0.95)
+    use_multi = n_agree >= 2
+    use_single = (~use_multi) & (best_s >= strict)
+    depth = jnp.where(use_multi, med, jnp.where(use_single, d_best, 0.0))
+    score = jnp.where(
+        use_multi, mean_score, jnp.where(use_single, best_s, -1.0)
+    )
+    return DepthMap(depth=depth, score=score)

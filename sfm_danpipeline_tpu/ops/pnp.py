@@ -229,6 +229,7 @@ def solve_pnp_ransac(
     sample_size: int = 6,
     max_translation: float = 200.0,
     min_inliers: int = 6,
+    sample_mask: jnp.ndarray | None = None,
 ) -> PnPResult:
     """RANSAC PnP over 2D-3D correspondences.
 
@@ -242,13 +243,21 @@ def solve_pnp_ransac(
     rates — a bridge view across a viewpoint break has ~5-10% correct
     2D-3D support, where the all-inlier probability of a 6-point draw is
     ~1e-7 but a 3-point draw at the same budget is near-certain).
+
+    `sample_mask` (optional, subset of valid): a higher-precision subset
+    (e.g. strict-ratio matches) that HALF the P3P draws prefer when it
+    holds >= 8 rows. On bridge views the loose support runs ~1-2% true
+    correspondences — hopeless even for 3-point draws — while the strict
+    subset is small but ~10x cleaner; drawing minimal samples there and
+    SCORING over the full support is what makes direct bridge
+    registration deterministic instead of key-lottery.
     """
 
     def residuals(Rt):
         # inf (behind-camera) residuals would poison the MSAC sum; clamp.
         return jnp.minimum(_reproj_errors_px(Rt, X, px, K), 1e9)
 
-    k_dlt, k_p3p = jax.random.split(key)
+    k_dlt, k_p3p, k_p3s = jax.random.split(key, 3)
     # The 6-point DLT pool exists for high-inlier accuracy; a quarter
     # budget suffices there (its 12x12 eigh per sample is the expensive
     # hypothesis generator). P3P (cheap scalar Newton) keeps the full
@@ -256,20 +265,39 @@ def solve_pnp_ransac(
     idx6 = sample_indices(k_dlt, valid, max(256, n_hypotheses // 4),
                           sample_size)
     models6 = jax.vmap(lambda i: _dlt_pnp(X[i], xn[i]))(idx6)
-    idx3 = sample_indices(k_p3p, valid, n_hypotheses, 3)
     h = jnp.concatenate([xn, jnp.ones_like(xn[:, :1])], axis=-1)
     y = h / jnp.linalg.norm(h, axis=-1, keepdims=True)
+    if sample_mask is None:
+        idx3 = sample_indices(k_p3p, valid, n_hypotheses, 3)
+    else:
+        strict = sample_mask & valid
+        use_strict = jnp.sum(strict) >= 8
+        mask_eff = jnp.where(use_strict, strict, valid)
+        idx3a = sample_indices(k_p3p, valid, n_hypotheses // 2, 3)
+        idx3b = sample_indices(k_p3s, mask_eff, n_hypotheses // 2, 3)
+        idx3 = jnp.concatenate([idx3a, idx3b])
     models3 = jax.vmap(lambda i: _p3p_solve(X[i], y[i]))(idx3)
     models = jnp.concatenate([models6, models3.reshape(-1, 3, 4)])
 
     # Two-stage MSAC: the pool is large (n_hypotheses * (1 + 7 P3P
-    # starts)), so prescore every hypothesis on a fixed 256-point subset
-    # of the valid correspondences, then full-score only the top 256.
-    # Cuts scoring FLOPs ~8x with no measurable selection loss.
+    # starts)), so prescore every hypothesis on a fixed subset of the
+    # valid correspondences, then full-score only the top T. MSAC scores
+    # weight strict-subset rows double: on a bridge view the true
+    # correspondences are ~4-8% of the support, and their unweighted MSAC
+    # margin is too thin to survive hypothesis selection (the measured
+    # failure mode behind skipped direct bridge registrations); strict
+    # rows are ~5x cleaner, so emphasizing them steers selection toward
+    # poses that explain the trustworthy evidence. High-inlier views are
+    # unaffected (strict rows dominate their inlier sets anyway).
+    score_w = (
+        1.0 + (sample_mask & valid) if sample_mask is not None else
+        jnp.ones_like(valid, dtype=X.dtype)
+    )
     M = X.shape[0]
     S = min(256, M)
     order = jnp.argsort(~valid, stable=True)[:S]
     sub_valid = valid[order]
+    sub_w = score_w[order]
 
     def sub_residuals(Rt_h):
         return jnp.minimum(
@@ -278,12 +306,16 @@ def solve_pnp_ransac(
 
     pres = jax.vmap(sub_residuals)(models)
     pres = jnp.where(sub_valid[None, :], pres, 0.0)
-    pre_scores = jnp.sum(jnp.minimum(pres, threshold_px), axis=-1)
-    T = min(256, models.shape[0])
+    pre_scores = jnp.sum(
+        sub_w[None, :] * jnp.minimum(pres, threshold_px), axis=-1
+    )
+    T = min(384, models.shape[0])
     _, top = jax.lax.top_k(-pre_scores, T)
     res = jax.vmap(residuals)(models[top])  # (T, M)
     res = jnp.where(valid[None, :], res, 0.0)
-    scores = jnp.sum(jnp.minimum(res, threshold_px), axis=-1)
+    scores = jnp.sum(
+        score_w[None, :] * jnp.minimum(res, threshold_px), axis=-1
+    )
     best = jnp.argmin(scores)
     Rt = models[top[best]]
     inliers = (res[best] < threshold_px) & valid
@@ -294,11 +326,29 @@ def solve_pnp_ransac(
     use_loose = n_in < jnp.maximum(10, jnp.sum(valid) // 5)
     inliers = jnp.where(use_loose, loose, inliers)
 
+    # Two refinement rounds: refine on the current set, re-collect at the
+    # loose 8 px band, refine again, then count both bands.
     w = inliers.astype(X.dtype)
     R, t = _gauss_newton_refine(Rt[:, :3], Rt[:, 3], X, px, K, w)
+    err1 = _reproj_errors_px(jnp.concatenate([R, t[:, None]], -1), X, px, K)
+    w2 = ((err1 < 8.0) & valid).astype(X.dtype)
+    R, t = _gauss_newton_refine(R, t, X, px, K, w2)
     err = _reproj_errors_px(jnp.concatenate([R, t[:, None]], -1), X, px, K)
-    inliers = (err < threshold_px) & valid
-    n_in = jnp.sum(inliers)
+    tight = (err < threshold_px) & valid
+    loose2 = (err < 8.0) & valid
+    n_tight = jnp.sum(tight)
+    n_loose = jnp.sum(loose2)
+
+    # Acceptance: the tight consensus only. An r4 experiment admitting a
+    # 2x loose-band (8 px) consensus as a bridge path registered wrong
+    # poses on 2 of 5 seeds (seed-sweep regression) — a bridge view's
+    # irreducible ~4-8 px residuals (cross-hemisphere matches into a map
+    # whose far edge carries its own error) are indistinguishable from a
+    # junk consensus at that band, so ambiguous views are left to the
+    # verified secondary-component + Sim(3)-merge path instead.
+    n_in = n_tight
+    inliers = tight
+    del loose2, n_loose
 
     center = -R.T @ t
     det_ok = jnp.abs(jnp.linalg.det(R) - 1.0) < 1e-3

@@ -51,7 +51,16 @@ def _epipolar_filter_core(
         threshold_px=config.geometry.essential_threshold_px,
         n_hypotheses=config.geometry.prefilter_ransac_iters,
     )
-    use = pose.ok & (jnp.sum(valid) >= 2 * config.geometry.min_pose_points)
+    n = jnp.sum(valid)
+    # Credibility gate: apply the consensus only when it explains a solid
+    # fraction of the matches. On wide-baseline bridge pairs (~5-10% true
+    # inliers) an 8-point RANSAC essentially never draws a clean sample
+    # (0.1^8); its "consensus" is junk that would prune the TRUE matches
+    # and starve bridge PnP (measured: view-8 2D-3D support 278 -> 46
+    # when ungated). Below the bar the raw matches pass through — PnP's
+    # P3P minimal draws are the tool that works at those rates.
+    frac_ok = pose.n_inliers >= 0.3 * n
+    use = pose.ok & (n >= 2 * config.geometry.min_pose_points) & frac_ok
     return jnp.where(use, valid & pose.inliers, valid)
 
 
@@ -143,6 +152,7 @@ def register_view(
     dist: jnp.ndarray,
     image_max_dim: float,
     config: PipelineConfig,
+    valid_tab_strict: jnp.ndarray | None = None,
 ) -> Tuple[ReconstructionState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """PnP-register `new_view` from 2D-3D correspondences through the track
     table (src/Sfm.cpp:946-961). Returns (state, ok, n_inliers, n_support)
@@ -163,7 +173,7 @@ def register_view(
     match_valid = valid_tab[new_view, dv_c] & (done_views >= 0)[:, None]
     D, M = match_feat_new.shape
 
-    def collect(d_idx):
+    def collect(d_idx, vtab):
         dv = done_views[d_idx]
         p, fnew, m = find_2d3d(
             state,
@@ -171,21 +181,37 @@ def register_view(
             jnp.clip(dv, 0),
             match_feat_new[d_idx],
             match_feat_done[d_idx],
-            match_valid[d_idx] & (dv >= 0),
+            vtab[d_idx] & (dv >= 0),
         )
         return p, fnew, m
 
-    p, fnew, m = jax.vmap(collect)(jnp.arange(D))
+    p, fnew, m = jax.vmap(collect, in_axes=(0, None))(
+        jnp.arange(D), match_valid
+    )
     p = p.reshape(-1)
     fnew = fnew.reshape(-1)
     m = m.reshape(-1)
-    # Deduplicate: a cloud point may be hit via several done views; keep the
-    # first occurrence (scatter: first-wins via reverse-priority max trick).
-    # A simple stable dedup: mark duplicates of (point) ids.
-    order = jnp.argsort(~m, stable=True)  # valid first
+    if valid_tab_strict is not None:
+        sv = valid_tab_strict[new_view, dv_c] & (done_views >= 0)[:, None]
+        _, _, m_strict = jax.vmap(collect, in_axes=(0, None))(
+            jnp.arange(D), sv
+        )
+        m_strict = m_strict.reshape(-1)
+    else:
+        m_strict = jnp.zeros_like(m)
+    # Deduplicate: a cloud point may be hit via several done views — keep
+    # ONE representative per point id via a scatter-max (the max sorted
+    # index wins). Sort so STRICT rows carry the highest indices among a
+    # point's duplicates: the surviving representative is then the strict
+    # one whenever a strict observation exists, which is what keeps the
+    # P3P strict-sampling pool (sample_mask below) populated — with
+    # loose-wins dedup the strict rows were masked out and bridge views
+    # lost their clean minimal-sample pool.
+    order = jnp.argsort((~m) * 2 + (m & m_strict), stable=True)
     p_s = p[order]
     fnew_s = fnew[order]
     m_s = m[order]
+    strict_s = m_strict[order]
     seen_slot = jnp.full((state.capacity,), -1, jnp.int32)
     idx = jnp.arange(p_s.shape[0], dtype=jnp.int32)
     seen_slot = seen_slot.at[jnp.where(m_s, p_s, state.capacity - 1)].max(
@@ -210,6 +236,7 @@ def register_view(
         n_hypotheses=config.geometry.pnp_ransac_iters,
         max_translation=config.geometry.pnp_max_translation,
         min_inliers=config.geometry.pnp_min_inliers,
+        sample_mask=keep & strict_s,
     )
     cam = jnp.concatenate([log_so3(res.R), res.t])
     cameras = jnp.where(
@@ -261,6 +288,7 @@ def register_and_triangulate(
     state, ok, n_inl, n_support = register_view(
         key, state, new_view, done_views, feat_tab_a, feat_tab_b,
         valid_tab_loose, keypoints_xy, K, dist, image_max_dim, config,
+        valid_tab_strict=valid_tab_strict,
     )
 
     def tri(st):

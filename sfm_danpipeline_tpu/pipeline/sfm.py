@@ -708,7 +708,14 @@ class SfMPipeline:
                 b_mask[sorted(done_b)] = True
                 b_mask_j = jnp.asarray(b_mask)
                 med_px, _ = cross_median(cand, b_mask_j)
-                if med_px <= 0.5 * cfg.geometry.max_merge_reprojection_px:
+                # Gate 1 is a LOOSE prefilter (full 8 px bound): the
+                # pre-BA Sim(3) places two independently-drifted
+                # components together, and 4-7 px pre-BA medians measured
+                # on valid merges (seed sweep, r4). The decisive check is
+                # gate 2 below — post-BA median over the dense fused
+                # cross-tracks, with revert — which a wrong-scale merge
+                # cannot pass.
+                if med_px <= cfg.geometry.max_merge_reprojection_px:
                     # Cross-triangulation: a Sim(3) consensus of ~10 tracks
                     # cannot hold two rigid bodies together through BA
                     # (prune deletes the few cross obs and the combined
@@ -949,15 +956,20 @@ class SfMPipeline:
         fixv = np.zeros(V, bool)
         fixv[anchor] = True
         fix_j = jnp.asarray(fixv)
-        failed: set = set()
+        # failed[view] = len(done) when it last failed: a view is only
+        # worth retrying after the map GREW (new registrations add 2D-3D
+        # support); blind retry rounds re-ran every bridge-starved view
+        # against an unchanged map — 4 wasted fused dispatches per round
+        # on temple (~0.5 s of the incremental stage).
+        failed: dict = {}
         progress = True
         while progress:
             progress = False
-            failed.clear()
+            stale = {v for v, n in failed.items() if n >= len(done)}
             while True:
                 if max_new_views is not None and n_grown >= max_new_views:
                     return state
-                frontier = self._frontier(done, failed | exclude, V)
+                frontier = self._frontier(done, stale | exclude, V)
                 if not frontier:
                     break
                 new_view = frontier[0]
@@ -1016,7 +1028,8 @@ class SfMPipeline:
                         "support), skipping",
                         new_view, n_inl, n_support,
                     )
-                    failed.add(new_view)
+                    failed[new_view] = len(done)
+                    stale.add(new_view)
                     continue
                 log.info(
                     "view %d registered (%d PnP inliers)",

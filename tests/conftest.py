@@ -91,3 +91,20 @@ def synthetic_scene():
         "t": np.stack(ts),
         "obs": np.stack(obs),  # (V, N, 2) exact projections
     }
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-program memory at module boundaries.
+
+    A full-suite run accumulates every module's XLA:CPU executables in one
+    process; at ~100 tests in, a fresh compile inside
+    backend_compile_and_load segfaulted deterministically (r4, twice, same
+    position, passing in isolation — a cumulative-memory compiler crash,
+    not a test bug). Dropping caches between modules bounds the
+    accumulation; later modules recompile locally, which is cheap on CPU.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -169,3 +169,112 @@ class TestFusion:
         cols = np.zeros((3, 3), np.float32)
         p2, c2 = voxel_downsample(pts, cols, 0.01)
         assert len(p2) == 2
+
+
+class TestRectifiedSweep:
+    """mvs/rectsweep.py — the TPU-fast rectified form, validated against
+    the same ground truth as the direct sweep (and, in
+    test_agrees_with_direct_sweep, against the direct sweep itself)."""
+
+    def _pair(self, seed, depth_gt, rot_deg=4.0):
+        h, w = 96, 128
+        K = np.array([[120.0, 0, w / 2], [0, 120.0, h / 2], [0, 0, 1]])
+        tex = _texture(512, 512, seed=seed)
+        ref = _render_plane(
+            K, np.eye(3), np.zeros(3), tex, 60.0, depth_gt, h, w
+        )
+        # Source with a small rotation AND translation: rectification must
+        # straighten this (pure-translation pairs never exercise it).
+        a = np.radians(rot_deg)
+        R2 = np.array([
+            [np.cos(a), 0, np.sin(a)],
+            [0, 1, 0],
+            [-np.sin(a), 0, np.cos(a)],
+        ])
+        t2 = np.array([0.25, 0.03, 0.0])
+        src = _render_plane(K, R2, t2, tex, 60.0, depth_gt, h, w)
+        return K, ref, src, R2, t2
+
+    def test_recovers_plane_depth_rotated_source(self):
+        from sfm_danpipeline_tpu.mvs.rectsweep import rect_sweep_depth_map
+
+        depth_gt = 3.0
+        K, ref, src, R2, t2 = self._pair(3, depth_gt)
+        dm = rect_sweep_depth_map(
+            jnp.asarray(ref),
+            jnp.asarray(src)[None],
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(R2, jnp.float32)[None],
+            jnp.asarray(t2, jnp.float32)[None],
+            jnp.ones(1, bool),
+            jnp.asarray(1.5, jnp.float32),
+            jnp.asarray(6.0, jnp.float32),
+            min_score=0.7,
+            n_depths=96,
+        )
+        d = np.asarray(dm.depth)
+        interior = d[12:-12, 12:-12]
+        frac = (interior > 0).mean()
+        assert frac > 0.8, f"only {frac:.2f} of pixels confident"
+        got = np.median(interior[interior > 0])
+        assert abs(got - depth_gt) < 0.1, f"depth {got} vs {depth_gt}"
+
+    def test_agrees_with_direct_sweep(self):
+        """Rectified and direct sweeps are two implementations of the same
+        estimator — their confident depths must coincide."""
+        from sfm_danpipeline_tpu.mvs.rectsweep import rect_sweep_depth_map
+
+        depth_gt = 2.6
+        K, ref, src, R2, t2 = self._pair(5, depth_gt)
+        args = (
+            jnp.asarray(ref), jnp.asarray(src)[None],
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(R2, jnp.float32)[None],
+            jnp.asarray(t2, jnp.float32)[None],
+            jnp.ones(1, bool),
+        )
+        dm_r = rect_sweep_depth_map(
+            *args, jnp.asarray(1.5, jnp.float32), jnp.asarray(6.0, jnp.float32),
+            min_score=0.7, n_depths=96,
+        )
+        depths = jnp.asarray(np.linspace(1.5, 6.0, 96), jnp.float32)
+        dm_d = sweep_depth_map(*args, depths, min_score=0.7)
+        a = np.asarray(dm_r.depth)[12:-12, 12:-12]
+        b = np.asarray(dm_d.depth)[12:-12, 12:-12]
+        both = (a > 0) & (b > 0)
+        assert both.mean() > 0.7
+        rel = np.abs(a[both] - b[both]) / b[both]
+        assert np.median(rel) < 0.02, f"median rel diff {np.median(rel)}"
+
+    def test_multi_source_consensus(self):
+        """Three sources around the reference; the consensus must keep the
+        plane and the corrupted single-source fallback must stay strict."""
+        from sfm_danpipeline_tpu.mvs.rectsweep import rect_sweep_depth_map
+
+        h, w = 96, 128
+        K = np.array([[120.0, 0, w / 2], [0, 120.0, h / 2], [0, 0, 1]])
+        tex = _texture(512, 512, seed=7)
+        depth_gt = 3.2
+        ref = _render_plane(K, np.eye(3), np.zeros(3), tex, 60.0, depth_gt, h, w)
+        Rs, ts, srcs = [], [], []
+        for dx, dy in ((0.25, 0.0), (-0.22, 0.04), (0.1, -0.2)):
+            t2 = np.array([dx, dy, 0.0])
+            srcs.append(_render_plane(K, np.eye(3), t2, tex, 60.0, depth_gt, h, w))
+            Rs.append(np.eye(3))
+            ts.append(t2)
+        dm = rect_sweep_depth_map(
+            jnp.asarray(ref),
+            jnp.asarray(np.stack(srcs)),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(np.stack(Rs), jnp.float32),
+            jnp.asarray(np.stack(ts), jnp.float32),
+            jnp.ones(3, bool),
+            jnp.asarray(1.5, jnp.float32),
+            jnp.asarray(6.0, jnp.float32),
+            min_score=0.7,
+            n_depths=96,
+        )
+        d = np.asarray(dm.depth)
+        interior = d[12:-12, 12:-12]
+        got = np.median(interior[interior > 0])
+        assert abs(got - depth_gt) < 0.1, f"depth {got} vs {depth_gt}"
