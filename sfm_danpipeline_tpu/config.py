@@ -188,6 +188,13 @@ class BAConfig:
     local_window: int = 8
     local_ba_min_views: int = 12
     global_ba_every: int = 4
+    # Observation-sharded BA pays one collective (psum of the reduced
+    # normal blocks) per LM iteration. On ICI that is ~free; over
+    # gloo/DCN it costs more than the whole temple-size solve (measured
+    # r4: final BA 0.37 s replicated vs 5.74 s sharded at 2 CPU
+    # processes). Route the global solves through the sharded path only
+    # when the problem is big enough for compute to dominate comm.
+    sharded_min_obs: int = 50000
     # Rotation-averaging initialization before the FINAL global BA once at
     # least this many views are registered (0 disables). On long/closed
     # camera rings the incremental chain accumulates rotation drift that

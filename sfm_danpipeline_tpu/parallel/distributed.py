@@ -292,6 +292,12 @@ def run_sfm_multihost(
     )
     if n_pts == 0 or n_obs < 16:
         return result
+    if n_obs < config.ba.sharded_min_obs:
+        # The pipeline's own final BA already solved this replicated; an
+        # observation-sharded re-polish pays a psum per LM iteration,
+        # which over gloo/DCN costs more than the solve at this size
+        # (config.ba.sharded_min_obs rationale).
+        return result
     P = state.track_feat.shape[0]
     obs_cam, obs_pt, obs_xy, obs_w, overflow = observation_table_compact(
         state, result.keypoints.xy, pp, n_obs_bucket=n_obs, n_point_bucket=P

@@ -1310,6 +1310,7 @@ class SfMPipeline:
             jax.device_count() > 1
             and not intermediate
             and local_view is None
+            and n_obs_live >= ba_cfg.sharded_min_obs
         ):
             # Multi-device: the final global solve runs observation-sharded
             # over the mesh (ba/sharded.py) — the production path, not
