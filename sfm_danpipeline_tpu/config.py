@@ -101,7 +101,7 @@ class GeometryConfig:
     # outliers before PnP, and its 8-point fits are the incremental
     # loop's dominant small-eigh load (D views x iters 9x9 eigh per
     # registration).
-    prefilter_ransac_iters: int = 128
+    prefilter_ransac_iters: int = 96
     # Min aligned points to attempt pose (reference src/Sfm.cpp:734: >=8).
     min_pose_points: int = 8
     # Homography RANSAC inlier threshold factor (reference src/Sfm.cpp:667-689:
@@ -120,8 +120,12 @@ class GeometryConfig:
     # thr 0.006 * max dimension). We use 4096 vmapped hypotheses: the 6-point
     # DLT minimal sample needs more draws than EPnP's smaller sample to hit
     # an all-inlier set at high outlier rates, and on TPU the extra
-    # hypotheses are nearly free (one batched pass).
-    pnp_ransac_iters: int = 4096
+    # hypotheses are nearly free (one batched pass). 2048 (r4, was
+    # 4096): healthy registrations run >=60% inliers where 2048 3-point
+    # draws are overkill by orders of magnitude; marginal bridge views
+    # fail at ANY budget (see pnp_min_inliers) and route to the
+    # component+merge path, so the extra draws bought nothing.
+    pnp_ransac_iters: int = 2048
     pnp_threshold_factor: float = 0.006
     # Reject PnP poses translated implausibly far (reference src/Sfm.cpp:1175: ||T||<=200).
     pnp_max_translation: float = 200.0
@@ -168,8 +172,10 @@ class BAConfig:
     # LM budget for the per-view (intermediate) adjustments during the
     # incremental loop; the final global BA uses max_iterations. The
     # reference intended per-view local BA + global polish
-    # (adjustCurrentBundle, src/Sfm.cpp:883-888,996).
-    intermediate_iterations: int = 12
+    # (adjustCurrentBundle, src/Sfm.cpp:883-888,996). 8 iterations (r4,
+    # was 12) measured indistinguishable final quality on temple (RMS
+    # 0.726 vs 0.751, seed sweep green) at ~-30% per-view BA wall.
+    intermediate_iterations: int = 8
     # LM damping schedule.
     init_lambda: float = 1e-3
     lambda_up: float = 10.0

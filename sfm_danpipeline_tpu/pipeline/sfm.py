@@ -642,6 +642,12 @@ class SfMPipeline:
                 K, dist, max_dim, anchor=bi,
                 run_ba_every_view=run_ba_every_view,
             )
+            # Converge the component fully before the Sim(3) attempt: the
+            # per-view 8-iteration budget leaves enough residual wobble
+            # that the 3-point similarity RANSAC can miss its consensus
+            # (measured: 2/135 inliers unpolished vs 10/135 polished on
+            # the temple secondary component).
+            state_b = self._run_global_ba(state_b, kp, pp, anchor=bi)
             metrics["n_components"] += 1
             # --- Sim(3) alignment B -> A: hypotheses from cross-component
             # 3D-3D pairs, support counted by 2D reprojection into A's views
