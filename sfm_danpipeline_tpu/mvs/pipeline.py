@@ -131,7 +131,14 @@ def densify(
                 rect_sweep_depth_map,
             )
 
-            zv = z[z > 0]
+            # Depth range from points with a LIVE observation in view r:
+            # on closed-ring scenes, far-side points in front of the
+            # camera but unseen by it inflate hi and waste depth planes
+            # (ADVICE r4, low). Fall back to all-in-front when view r has
+            # too few observed tracks to be representative.
+            obs_r = np.asarray(state.track_feat[:, r] >= 0) & pts_valid
+            z_obs = z[obs_r & (z > 0)] if obs_r.any() else z[z > 0]
+            zv = z_obs if len(z_obs) >= 32 else z[z > 0]
             lo = float(np.percentile(zv, 5.0)) if len(zv) else 1.0
             hi = float(np.percentile(zv, 95.0)) if len(zv) else 10.0
             dm = rect_sweep_depth_map(

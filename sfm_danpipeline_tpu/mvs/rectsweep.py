@@ -117,14 +117,22 @@ def rect_sweep_pair(
     ref_zm = rref - ref_mean
     ref_var = _window_mean(ref_zm * ref_zm, window)
 
+    in_s_f = in_s.astype(rsrc.dtype)
+
     def one_disp(d):
         s, ok = _shift_x(rsrc, d)
+        # Shift the source inside-mask with the same disparity: bilinear_
+        # sample clamps at borders, so without this, ZNCC near the
+        # rectification border correlates against edge-replicated
+        # out-of-view content and the strict single-source fallback can
+        # admit those spurious depths (ADVICE r4, low).
+        ins, _ = _shift_x(in_s_f, d)
         s_mean = _window_mean(s, window)
         s_zm = s - s_mean
         s_var = _window_mean(s_zm * s_zm, window)
         cov = _window_mean(ref_zm * s_zm, window)
         zncc = cov / jnp.sqrt(jnp.maximum(ref_var * s_var, 1e-10))
-        return jnp.where(ok & in_r, zncc, -1.0)
+        return jnp.where(ok & in_r & (ins > 0.99), zncc, -1.0)
 
     cost = jax.vmap(one_disp)(disps)  # (D, H, W)
     best = jnp.argmax(cost, axis=0)

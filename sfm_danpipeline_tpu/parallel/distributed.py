@@ -296,8 +296,17 @@ def run_sfm_multihost(
         # The pipeline's own final BA already solved this replicated; an
         # observation-sharded re-polish pays a psum per LM iteration,
         # which over gloo/DCN costs more than the solve at this size
-        # (config.ba.sharded_min_obs rationale).
-        return result
+        # (config.ba.sharded_min_obs rationale). Record the routing
+        # decision so callers/tests can assert which path ran.
+        return dataclasses.replace(
+            result,
+            metrics={
+                **result.metrics,
+                "mh_polish_skipped": 1.0,
+                "mh_n_obs": float(n_obs),
+                "n_processes": float(jax.process_count()),
+            },
+        )
     P = state.track_feat.shape[0]
     obs_cam, obs_pt, obs_xy, obs_w, overflow = observation_table_compact(
         state, result.keypoints.xy, pp, n_obs_bucket=n_obs, n_point_bucket=P

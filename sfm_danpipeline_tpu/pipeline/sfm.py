@@ -770,7 +770,7 @@ class SfMPipeline:
                         "component %s: Sim(3) rejected by reprojection "
                         "gate (median %.2f px > %.1f)",
                         sorted(done_b), med_px,
-                        0.5 * cfg.geometry.max_merge_reprojection_px,
+                        cfg.geometry.max_merge_reprojection_px,
                     )
             else:
                 log.warning(
@@ -807,20 +807,56 @@ class SfMPipeline:
         # incremental chains drift and LM alone converges to the drifted
         # basin; ops/rotavg.py).
         t0 = time.time()
+        ba_metrics = None
         if (
             self.config.ba.rotavg_min_views
             and len(done) >= self.config.ba.rotavg_min_views
         ):
-            state = self._rotavg_initialize(
+            # Snapshot-and-compare: the global reinit is only kept if the
+            # polished result does not regress a polish-only run (ADVICE
+            # r4, medium — a bad averaged pose graph must not replace a
+            # drifted-but-recoverable state; same philosophy as the Sim(3)
+            # merge's post-BA revert gate).
+            state_snap = state
+            state_ra = self._rotavg_initialize(
                 state, done, scores, pi_j, pj_j, tables, kp, colors, pp,
                 K, dist,
             )
-            state = self._run_global_ba(
-                state, kp, pp, anchor=vi, intermediate=True
+            if state_ra is not state_snap:
+                state_ra = self._run_global_ba(
+                    state_ra, kp, pp, anchor=vi, intermediate=True
+                )
+                state_ra, m_ra = self._run_global_ba(
+                    state_ra, kp, pp, anchor=vi, return_metrics=True
+                )
+                state_plain, m_plain = self._run_global_ba(
+                    state_snap, kp, pp, anchor=vi, return_metrics=True
+                )
+                # Accept unless the reinit lost observations or clearly
+                # worsened the fit: loop closure legitimately ADDS
+                # re-fused high-residual tracks, so allow a small RMS
+                # margin but never a support collapse.
+                ok = (
+                    m_ra["ba_rms_px"]
+                    <= m_plain["ba_rms_px"] + 0.25
+                    and m_ra["ba_n_obs"] >= 0.8 * m_plain["ba_n_obs"]
+                )
+                if ok:
+                    state, ba_metrics = state_ra, m_ra
+                    metrics["rotavg_applied"] = 1.0
+                else:
+                    log.warning(
+                        "rotavg reinit reverted: RMS %.3f px / %d obs vs "
+                        "polish-only %.3f px / %d obs",
+                        m_ra["ba_rms_px"], int(m_ra["ba_n_obs"]),
+                        m_plain["ba_rms_px"], int(m_plain["ba_n_obs"]),
+                    )
+                    state, ba_metrics = state_plain, m_plain
+                    metrics["rotavg_applied"] = 0.0
+        if ba_metrics is None:
+            state, ba_metrics = self._run_global_ba(
+                state, kp, pp, anchor=vi, return_metrics=True
             )
-        state, ba_metrics = self._run_global_ba(
-            state, kp, pp, anchor=vi, return_metrics=True
-        )
         metrics.update(ba_metrics)
         metrics["t_final_ba"] = time.time() - t0
 
@@ -1119,8 +1155,22 @@ class SfMPipeline:
 
         V = state.n_views
         reg = np.zeros(V, bool)
-        reg[sorted(done)] = True
+        done_sorted = sorted(done)
+        n_reg = len(done_sorted)
+        reg[done_sorted] = True
         reg_j = jnp.asarray(reg)
+        # Compact the averaging problem to REGISTERED views only.
+        # Unregistered views are zero-degree nodes whose exact nullspace
+        # (eigenvalue = the ridge) would hijack the bottom eigenvectors of
+        # both Laplacians and corrupt the registered views' poses too
+        # (ADVICE r4, high). Edges touching an unregistered view carry
+        # w = 0 below and collapse to harmless zero-weight self-loops at
+        # compact node 0.
+        remap = np.zeros(V, np.int32)
+        remap[done_sorted] = np.arange(n_reg, dtype=np.int32)
+        done_idx = jnp.asarray(done_sorted, jnp.int32)
+        ci = jnp.asarray(remap)[pair_i]
+        cj = jnp.asarray(remap)[pair_j]
         # Per-edge basin disambiguation against the CURRENT estimate: the
         # incremental chain is locally accurate (drift accumulates over
         # many views) while the two epipolar basins differ by tens of
@@ -1154,7 +1204,7 @@ class SfMPipeline:
             log.info("rotavg: pose graph too thin — skipping")
             return state
         R_avg, res = average_rotations(
-            pair_i, pair_j, R_rel, w, n_views=V
+            ci, cj, R_rel, w, n_views=n_reg
         )
         # Reject outlier edges and re-average — two IRLS rounds with a
         # tightening residual gate (chordal 0.5 ~ 20 deg, then half).
@@ -1168,37 +1218,52 @@ class SfMPipeline:
                 break
             w2 = w_new
             R_avg, res = average_rotations(
-                pair_i, pair_j, R_rel, w2, n_views=V
+                ci, cj, R_rel, w2, n_views=n_reg
             )
-        # Rotational gauge: Procrustes onto the current estimate.
-        R_cur = jax.vmap(exp_so3)(state.cameras[:, :3])
+        # Consistency gate: if the surviving graph still cannot explain
+        # itself (mean chordal residual above the outlier bound), the
+        # averaged solution is untrustworthy — keep the incremental
+        # estimate (ADVICE r4, medium).
+        n_live = jnp.maximum(jnp.sum(w2 > 0), 1.0)
+        mean_res = float(jnp.sum(jnp.where(w2 > 0, res, 0.0)) / n_live)
+        if mean_res > self.config.ba.rotavg_outlier_residual:
+            log.warning(
+                "rotavg: mean chordal residual %.3f above %.3f after "
+                "IRLS — pose graph inconsistent, skipping reinit",
+                mean_res, self.config.ba.rotavg_outlier_residual,
+            )
+            return state
+        # Rotational gauge: Procrustes onto the current estimate
+        # (compact: rows are registered views only).
+        R_cur = jax.vmap(exp_so3)(state.cameras[done_idx, :3])
         G = project_so3(
-            jnp.sum(
-                jnp.where(
-                    reg_j[:, None, None],
-                    jnp.einsum("vij,vik->vjk", R_avg, R_cur),
-                    0.0,
-                ),
-                axis=0,
-            )
+            jnp.sum(jnp.einsum("vij,vik->vjk", R_avg, R_cur), axis=0)
         )
         R_new = R_avg @ G
         # Translation averaging under the NEW rotations; scalar gauge fit.
         C_avg, _ = average_translations(
-            pair_i, pair_j, R_new, t_rel, w2, n_views=V
+            ci, cj, R_new, t_rel, w2, n_views=n_reg
         )
-        C_cur = -jnp.einsum("vij,vi->vj", R_cur, state.cameras[:, 3:])
-        nreg = jnp.sum(reg_j)
-        mean_a = jnp.sum(jnp.where(reg_j[:, None], C_avg, 0.0), 0) / nreg
-        mean_c = jnp.sum(jnp.where(reg_j[:, None], C_cur, 0.0), 0) / nreg
-        da = jnp.where(reg_j[:, None], C_avg - mean_a, 0.0)
-        dc = jnp.where(reg_j[:, None], C_cur - mean_c, 0.0)
-        s = jnp.sum(da * dc) / jnp.maximum(jnp.sum(da * da), 1e-12)
+        C_cur = -jnp.einsum(
+            "vij,vi->vj", R_cur, state.cameras[done_idx, 3:]
+        )
+        mean_a = jnp.mean(C_avg, axis=0)
+        mean_c = jnp.mean(C_cur, axis=0)
+        da = C_avg - mean_a
+        dc = C_cur - mean_c
+        denom = float(jnp.sum(da * da))
+        if denom < 1e-10:
+            log.warning(
+                "rotavg: averaged centers degenerate (||da||^2 = %.2e) "
+                "— skipping reinit", denom,
+            )
+            return state
+        s = jnp.sum(da * dc) / denom
         C_new = s * (C_avg - mean_a) + mean_c
         t_new = -jnp.einsum("vij,vj->vi", R_new, C_new)
         aa_new = jax.vmap(log_so3)(R_new)
         cams_new = jnp.concatenate([aa_new, t_new], axis=-1)
-        cameras = jnp.where(reg_j[:, None], cams_new, state.cameras)
+        cameras = state.cameras.at[done_idx].set(cams_new)
         # Diagnostics: rotation and center corrections.
         dR = jnp.einsum("vij,vik->vjk", R_new, R_cur)
         tr = jnp.clip((jnp.trace(dR, axis1=-2, axis2=-1) - 1) / 2, -1, 1)
@@ -1208,8 +1273,7 @@ class SfMPipeline:
             "global reinit over %d views / %d edges: max rotation "
             "correction %.2f deg, max center shift %.3f",
             len(done), int(jnp.sum(w2 > 0)),
-            float(jnp.max(jnp.where(reg_j, ang, 0.0))),
-            float(jnp.max(jnp.where(reg_j, dC, 0.0))),
+            float(jnp.max(ang)), float(jnp.max(dC)),
         )
         state = dataclasses.replace(state, cameras=cameras)
         # Structure refresh + re-fuse sweep (recreates the loop-closing

@@ -45,7 +45,14 @@ images = dataclasses.replace(
 calib = load_calibration(
     "/root/reference/data/temple/camera_calibration_template.xml"
 )
+# Drive the sharded_min_obs routing LOW so the observation-sharded polish
+# path actually executes on this 4-view problem (at the production default
+# of 50k obs the driver takes the replicated early-return — covered by
+# test_single_process_polish_routing below).
 cfg = PipelineConfig()
+cfg = dataclasses.replace(
+    cfg, ba=dataclasses.replace(cfg.ba, sharded_min_obs=16)
+)
 
 # (a) sharded input pipeline == local single-process computation, exactly.
 kp = D.compute_features_multihost(images, cfg)
@@ -85,6 +92,40 @@ print(f"DIGEST cams={np.sum(cams):.6f} pts={pts.shape[0]} "
       f"ptsum={np.sum(pts):.4f}", flush=True)
 print(f"proc {pid}: OK", flush=True)
 """
+
+
+@pytest.mark.slow
+def test_single_process_polish_routing():
+    """At the production sharded_min_obs (50k) a temple-size problem takes
+    the replicated early-return: the driver must record the routing
+    decision (mh_polish_skipped) instead of silently omitting the polish
+    metrics — the r4 regression left this path unobservable and the
+    2-process test red."""
+    import dataclasses
+
+    from sfm_danpipeline_tpu.config import PipelineConfig
+    from sfm_danpipeline_tpu.io.calibration import load_calibration
+    from sfm_danpipeline_tpu.io.images import load_images
+    from sfm_danpipeline_tpu.parallel import distributed as D
+
+    full = load_images("/root/reference/data/temple")
+    V = 4
+    images = dataclasses.replace(
+        full, gray=full.gray[:V], color=full.color[:V],
+        sizes=full.sizes[:V], paths=full.paths[:V],
+    )
+    calib = load_calibration(
+        "/root/reference/data/temple/camera_calibration_template.xml"
+    )
+    cfg = PipelineConfig()
+    assert cfg.ba.sharded_min_obs >= 10000  # production routing intact
+    res = D.run_sfm_multihost(
+        images, calib, cfg, run_ba_every_view=False, polish_iterations=6
+    )
+    assert sorted(res.registered_views) == list(range(V))
+    assert res.metrics.get("mh_polish_skipped") == 1.0
+    assert "mh_polish_cost1" not in res.metrics
+    assert res.metrics["mh_n_obs"] < cfg.ba.sharded_min_obs
 
 
 @pytest.mark.slow
