@@ -141,6 +141,37 @@ class GeometryConfig:
     pnp_min_inliers: int = 30
     # Point-merge radius during incremental growth (reference src/Sfm.cpp:1216: 0.01).
     merge_distance: float = 0.01
+    # --- Guided bridge registration (pipeline/guided.py). When a view
+    # fails transitive PnP (the reference loses such views outright,
+    # src/Sfm.cpp:955-958), re-attempt with map-projection guided
+    # matching: rotation from the pose-graph edge to the best-matched
+    # done view, baseline scale from a 1-parameter consensus sweep,
+    # support from direct keypoint-vs-projected-map descriptor matching.
+    # The PnP acceptance bar (pnp_min_inliers) is unchanged.
+    guided_enable: bool = True
+    # Minimum registered views before the guided fallback may fire (a
+    # tiny map projects too little support to be trustworthy).
+    guided_min_done: int = 4
+    # Projection-locality radius (px) for the first guided match — wide
+    # enough to absorb the epipolar rotation error of a thin bridge edge.
+    guided_radius_px: float = 24.0
+    # Tight re-match radius (px) at the PnP-refined pose.
+    guided_radius2_px: float = 8.0
+    # L2 descriptor distance bound for a guided correspondence
+    # (unit-norm SIFT; the ratio test is replaced by the spatial prior).
+    guided_desc_threshold: float = 0.9
+    # Stricter descriptor bound for the scale-sweep votes (votes must be
+    # discriminative; matching retries at the looser bound above).
+    guided_sweep_desc_threshold: float = 0.8
+    # Vote radius (px) during the scale sweep.
+    guided_sweep_radius_px: float = 12.0
+    # Scale-sweep resolution (candidate baseline scales per basin,
+    # covering both baseline signs).
+    guided_n_scales: int = 96
+    # Keep the guided correspondences as permanent track observations
+    # (False = use them for the pose only; the view's lasting constraints
+    # then come from ordinary pairwise triangulation).
+    guided_keep_obs: bool = True
     # Minimum median triangulation angle (deg) for a two-view SEED
     # reconstruction. Rejects degenerate low-parallax interpretations
     # (narrow-FOV rotation/translation ambiguity: the spurious basin

@@ -22,6 +22,7 @@ projection-invariant and cheirality-preserving.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -148,6 +149,231 @@ def views_reprojection_median(
     flat = jnp.sort(jnp.where(m, err, jnp.inf).reshape(-1))
     med = flat[jnp.clip((n - 1) // 2, 0)]
     return jnp.where(n > 0, med, jnp.inf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_hypotheses", "threshold_px")
+)
+def block_realign(
+    key: jax.Array,
+    state: ReconstructionState,
+    b_mask: jnp.ndarray,  # (V,) the guided-rooted view block
+    feat_tab_a: jnp.ndarray,  # (V, V, M) oriented match tables
+    feat_tab_b: jnp.ndarray,
+    valid_tab: jnp.ndarray,  # strict-ratio validity
+    keypoints_xy: jnp.ndarray,
+    K: jnp.ndarray,
+    threshold_px: float = 6.0,
+    n_hypotheses: int = 16384,
+    max_pairs: int = 4096,
+) -> Tuple[ReconstructionState, jnp.ndarray]:
+    """Sim(3) re-placement of a view BLOCK inside one reconstruction.
+
+    Guided bridge registration (pipeline/guided.py) carries a view block
+    across a viewpoint break on 2D evidence alone; on near-periodic
+    structure the cross-break 2D associations can settle the block into a
+    plausible-but-wrong basin that LM cannot leave (measured r5: seeds
+    with 9-12% ATE). The alias-resistant signal is STRUCTURAL — each
+    side's internally-consistent 3D geometry — exactly what the
+    secondary-component Sim(3) merge used (r4, 0.34% ATE). This is that
+    machinery re-expressed within a single fused state:
+
+      1. candidate 3D-3D pairs from strict cross-block matches whose two
+         endpoints belong to SINGLE-SIDED tracks (an A-pure point and a
+         B-pure point — each anchored purely in its own side's geometry);
+      2. reprojection-scored Sim(3) RANSAC (ops/similarity) finds the
+         dominant rigid correction of the B block;
+      3. apply: B cameras and B-pure points transform; inlier pairs FUSE
+         (their disjoint track rows concatenate, creating the dense
+         cross tracks the final BA needs); every point re-triangulates
+         under the corrected poses.
+
+    The caller follows with BA and a snapshot-compare revert gate.
+    Returns (state, stats[4] = [ok, n_inliers, n_candidates,
+    1000*scale])."""
+    from sfm_danpipeline_tpu.ops.similarity import (
+        estimate_sim3_reproj_ransac,
+    )
+    from sfm_danpipeline_tpu.pipeline.tracks import retriangulate_points
+
+    P = state.capacity
+    V = state.n_views
+    has = (
+        (state.track_feat >= 0)
+        & state.camera_valid[None, :]
+        & state.points_valid[:, None]
+    )
+    hasA = has & ~b_mask[None, :]
+    hasB = has & b_mask[None, :]
+    nA = jnp.sum(hasA, axis=1)  # (P,)
+    nB = jnp.sum(hasB, axis=1)
+    a_pure = (nA >= 2) & (nB == 0)
+    b_pure = (nB >= 2) & (nA == 0)
+
+    # --- Candidate pairs from the strict cross-block match tables.
+    av = jnp.arange(V, dtype=jnp.int32)
+    a_grid = jnp.broadcast_to(av[:, None, None], valid_tab.shape)
+    b_grid = jnp.broadcast_to(av[None, :, None], valid_tab.shape)
+    pa = state.feat_to_point[a_grid, jnp.clip(feat_tab_a, 0)]
+    pb = state.feat_to_point[b_grid, jnp.clip(feat_tab_b, 0)]
+    pac = jnp.clip(pa, 0)
+    pbc = jnp.clip(pb, 0)
+    mask = (
+        valid_tab
+        & ~b_mask[a_grid] & state.camera_valid[a_grid]
+        & b_mask[b_grid] & state.camera_valid[b_grid]
+        & (feat_tab_a >= 0) & (feat_tab_b >= 0)
+        & (pa >= 0) & (pb >= 0)
+        & a_pure[pac] & b_pure[pbc]
+    )
+    flat_mask = mask.reshape(-1)
+    flat_pa = pac.reshape(-1)
+    flat_pb = pbc.reshape(-1)
+    idx = jnp.arange(flat_pa.shape[0], dtype=jnp.int32)
+    for key_arr in (flat_pb, flat_pa):  # one row per point, each side
+        seen = jnp.full((P + 1,), -1, jnp.int32)
+        seen = seen.at[jnp.where(flat_mask, key_arr, P)].max(
+            jnp.where(flat_mask, idx, -1)
+        )
+        flat_mask = flat_mask & (seen[key_arr] == idx)
+    order = jnp.argsort(~flat_mask, stable=True)[:max_pairs]
+    pid_a = flat_pa[order]
+    pid_b = flat_pb[order]
+    m = flat_mask[order]
+    view_a = a_grid.reshape(-1)[order]
+    feat_a = jnp.clip(feat_tab_a.reshape(-1)[order], 0)
+
+    # --- Additional candidates from MIXED (cross) tracks, triangulated
+    # once per SIDE: X_A from A observations only, X_B from B only. A
+    # guided run fuses many points into cross tracks (shrinking the
+    # pure-pure pool to starvation — measured r5: <= 7 Sim(3) inliers),
+    # but each side's own observations still encode its internally
+    # consistent geometry; the split-DLT pair exposes the block offset
+    # the fused position averages away.
+    def masked_dlt(w_mask):
+        feat = jnp.clip(state.track_feat, 0)
+        xy = keypoints_xy[jnp.arange(V)[None, :], feat]  # (P, V, 2)
+        xn = (xy[..., 0] - K[0, 2]) / K[0, 0]
+        yn = (xy[..., 1] - K[1, 2]) / K[1, 1]
+        R = jax.vmap(exp_so3)(state.cameras[:, :3])
+        t = state.cameras[:, 3:]
+        Pm = jnp.concatenate([R, t[:, :, None]], axis=-1)  # (V, 3, 4)
+        r1 = xn[..., None] * Pm[None, :, 2, :] - Pm[None, :, 0, :]
+        r2 = yn[..., None] * Pm[None, :, 2, :] - Pm[None, :, 1, :]
+        w = w_mask.astype(jnp.float32)[..., None]
+        ATA = jnp.einsum("pva,pvb->pab", r1 * w, r1) + jnp.einsum(
+            "pva,pvb->pab", r2 * w, r2
+        )
+        _, vecs = jnp.linalg.eigh(ATA)
+        h = vecs[..., 0]
+        ok_h = jnp.abs(h[:, 3]) > 1e-9
+        X = h[:, :3] / jnp.where(ok_h, h[:, 3], 1.0)[:, None]
+        z = jnp.einsum("vj,pj->pv", R[:, 2, :], X) + t[None, :, 2]
+        front = jnp.sum((z > 0) & w_mask, axis=1)
+        n = jnp.sum(w_mask, axis=1)
+        ok = (
+            ok_h & (n >= 2) & (front * 2 >= n)
+            & jnp.all(jnp.isfinite(X), axis=-1)
+        )
+        return X, ok
+
+    X_Ad, okA = masked_dlt(hasA)
+    X_Bd, okB = masked_dlt(hasB)
+    cross = (nA >= 2) & (nB >= 2) & okA & okB & state.points_valid
+    va_c = jnp.argmax(hasA, axis=1)  # first A view with an obs
+    fa_c = jnp.clip(state.track_feat[jnp.arange(P), va_c], 0)
+    c_order = jnp.argsort(~cross, stable=True)[:max_pairs]
+
+    Xb_all = jnp.concatenate(
+        [state.points_xyz[pid_b], X_Bd[c_order]]
+    )
+    Xa_all = jnp.concatenate(
+        [state.points_xyz[pid_a], X_Ad[c_order]]
+    )
+    cams_all = jnp.concatenate(
+        [state.cameras[view_a], state.cameras[va_c[c_order]]]
+    )
+    obs_all = jnp.concatenate(
+        [
+            keypoints_xy[view_a, feat_a],
+            keypoints_xy[va_c[c_order], fa_c[c_order]],
+        ]
+    )
+    m_all = jnp.concatenate([m, cross[c_order]])
+
+    simres = estimate_sim3_reproj_ransac(
+        key,
+        Xb_all,
+        Xa_all,
+        cams_all,
+        obs_all,
+        K,
+        m_all,
+        threshold_px=threshold_px,
+        n_hypotheses=n_hypotheses,
+        min_inliers=8,
+    )
+
+    def apply(st):
+        sim = simres.sim
+        # Cameras of the block.
+        R_c = exp_so3(st.cameras[:, :3])
+        t_c = st.cameras[:, 3:]
+        R_new = jnp.einsum("vij,kj->vik", R_c, sim.R)
+        t_new = sim.s * t_c - jnp.einsum("vij,j->vi", R_new, sim.t)
+        cam_b = jnp.concatenate([jax.vmap(log_so3)(R_new), t_new], -1)
+        move_cam = b_mask & st.camera_valid
+        cameras = jnp.where(move_cam[:, None], cam_b, st.cameras)
+        # B-pure points ride with their block.
+        xyz_b = apply_sim3(sim, st.points_xyz)
+        points_xyz = jnp.where(b_pure[:, None], xyz_b, st.points_xyz)
+        st = dataclasses.replace(
+            st, cameras=cameras, points_xyz=points_xyz
+        )
+        # Fuse inlier PURE pairs (first block of the candidate array):
+        # pb's B-side track rows fold into pa (disjoint view columns by
+        # construction: pa is A-pure, pb is B-pure), pb dies, pb's
+        # features repoint to pa. Split-DLT cross pairs are already one
+        # point — nothing to fuse.
+        fuse = m & simres.inliers[: m.shape[0]]
+        fuse_to = jnp.full((P,), -1, jnp.int32)
+        fuse_to = fuse_to.at[jnp.where(fuse, pid_b, P - 1)].max(
+            jnp.where(fuse, pid_a, -1)
+        )
+        is_fused = fuse_to >= 0  # (P,) indexed by B point id
+        track_feat = jnp.pad(
+            st.track_feat, ((0, 1), (0, 0)), constant_values=-1
+        )
+        fused_rows = jnp.where(
+            is_fused[:, None], st.track_feat, -1
+        )
+        tgt = jnp.where(is_fused, fuse_to, P)
+        track_feat = track_feat.at[tgt].max(fused_rows)
+        points_valid = st.points_valid & ~is_fused
+        remap = jnp.where(
+            is_fused, fuse_to, jnp.arange(P, dtype=jnp.int32)
+        )
+        f2p = st.feat_to_point
+        f2p = jnp.where(f2p >= 0, remap[jnp.clip(f2p, 0)], -1)
+        st = dataclasses.replace(
+            st,
+            track_feat=track_feat[:P],
+            points_valid=points_valid,
+            feat_to_point=f2p,
+        )
+        # Structure refresh under the corrected poses.
+        return retriangulate_points(st, keypoints_xy, K)
+
+    state = jax.lax.cond(simres.ok, apply, lambda st: st, state)
+    stats = jnp.stack(
+        [
+            simres.ok.astype(jnp.int32),
+            simres.n_inliers.astype(jnp.int32),
+            jnp.sum(m_all).astype(jnp.int32),
+            (1000.0 * simres.sim.s).astype(jnp.int32),
+        ]
+    )
+    return state, stats
 
 
 @jax.jit

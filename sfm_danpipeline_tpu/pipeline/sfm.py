@@ -611,12 +611,20 @@ class SfMPipeline:
 
         # 4. Incremental loop (src/Sfm.cpp:893-1009) — finish growing the
         # main component (seed validation already registered some views).
+        # guided_ctx arms the guided bridge fallback (pipeline/guided.py):
+        # views whose transitive 2D-3D support starves across a viewpoint
+        # break re-attempt via map-projection matching before being routed
+        # to the secondary-component + Sim(3) path.
         t0 = time.time()
+        guided_ctx = (scores, pair_of)
+        guided_block: List[int] = []
+        metrics["n_guided_registered"] = 0
         ckpt_cb = lambda st, dn: self._save_ckpt(st, dn, lost, vi)  # noqa: E731
         state = self._grow_component(
             state, done, set(), keys, tables, kp, colors, pp, K, dist,
             max_dim, anchor=vi, run_ba_every_view=run_ba_every_view,
-            ckpt_cb=ckpt_cb,
+            ckpt_cb=ckpt_cb, guided_ctx=guided_ctx, metrics=metrics,
+            guided_block=guided_block,
         )
         metrics["t_incremental"] = time.time() - t0
 
@@ -791,7 +799,8 @@ class SfMPipeline:
             state = self._grow_component(
                 state, done, lost, keys, tables, kp, colors, pp, K, dist,
                 max_dim, anchor=vi, run_ba_every_view=run_ba_every_view,
-                ckpt_cb=ckpt_cb,
+                ckpt_cb=ckpt_cb, guided_ctx=guided_ctx, metrics=metrics,
+                guided_block=guided_block,
             )
             if len(done) > n_before:
                 log.info(
@@ -808,51 +817,62 @@ class SfMPipeline:
         # basin; ops/rotavg.py).
         t0 = time.time()
         ba_metrics = None
+        # 5a. Guided-block structural realign: when any view crossed a
+        # break on guided 2D evidence, re-verify the block's placement by
+        # 3D-3D Sim(3) consensus against the rest of the map
+        # (merge.block_realign) — the alias-resistant check 2D matching
+        # cannot provide — with a snapshot-compare revert.
+        block = sorted(set(guided_block) & done)
+        if block and len(block) < len(done):
+            from sfm_danpipeline_tpu.pipeline.merge import block_realign
+
+            b_mask_np = np.zeros(V, bool)
+            b_mask_np[block] = True
+            K_cur = jnp.asarray(
+                [[state.focal, 0.0, pp[0]],
+                 [0.0, state.focal, pp[1]],
+                 [0.0, 0.0, 1.0]]
+            )
+            state_snap = state
+            state_ra, ra_stats = block_realign(
+                keys[self._key_n % len(keys)], state,
+                jnp.asarray(b_mask_np), ft_a, ft_b, vt_strict, kp.xy,
+                K_cur,
+                threshold_px=0.75
+                * cfg.geometry.max_merge_reprojection_px,
+                n_hypotheses=16384,
+            )
+            self._key_n += 1
+            ra_ok, ra_inl, ra_cand, ra_s1000 = (
+                int(x) for x in np.asarray(ra_stats)
+            )
+            log.info(
+                "block realign %s: ok=%d inliers=%d/%d scale=%.3f",
+                block, ra_ok, ra_inl, ra_cand, ra_s1000 / 1000.0,
+            )
+            if ra_ok:
+                state, ba_metrics, applied = self._accept_reinit(
+                    state_ra, state_snap, kp, pp, vi, "block realign"
+                )
+                metrics["block_realign_applied"] = applied
+        # 5b. Rotation-averaging global reinit (loop closure) at scale.
         if (
             self.config.ba.rotavg_min_views
             and len(done) >= self.config.ba.rotavg_min_views
         ):
-            # Snapshot-and-compare: the global reinit is only kept if the
-            # polished result does not regress a polish-only run (ADVICE
-            # r4, medium — a bad averaged pose graph must not replace a
-            # drifted-but-recoverable state; same philosophy as the Sim(3)
-            # merge's post-BA revert gate).
             state_snap = state
             state_ra = self._rotavg_initialize(
                 state, done, scores, pi_j, pj_j, tables, kp, colors, pp,
                 K, dist,
             )
             if state_ra is not state_snap:
-                state_ra = self._run_global_ba(
-                    state_ra, kp, pp, anchor=vi, intermediate=True
+                # Snapshot-and-compare (ADVICE r4, medium): a bad averaged
+                # pose graph must not replace a drifted-but-recoverable
+                # state.
+                state, ba_metrics, applied = self._accept_reinit(
+                    state_ra, state_snap, kp, pp, vi, "rotavg reinit"
                 )
-                state_ra, m_ra = self._run_global_ba(
-                    state_ra, kp, pp, anchor=vi, return_metrics=True
-                )
-                state_plain, m_plain = self._run_global_ba(
-                    state_snap, kp, pp, anchor=vi, return_metrics=True
-                )
-                # Accept unless the reinit lost observations or clearly
-                # worsened the fit: loop closure legitimately ADDS
-                # re-fused high-residual tracks, so allow a small RMS
-                # margin but never a support collapse.
-                ok = (
-                    m_ra["ba_rms_px"]
-                    <= m_plain["ba_rms_px"] + 0.25
-                    and m_ra["ba_n_obs"] >= 0.8 * m_plain["ba_n_obs"]
-                )
-                if ok:
-                    state, ba_metrics = state_ra, m_ra
-                    metrics["rotavg_applied"] = 1.0
-                else:
-                    log.warning(
-                        "rotavg reinit reverted: RMS %.3f px / %d obs vs "
-                        "polish-only %.3f px / %d obs",
-                        m_ra["ba_rms_px"], int(m_ra["ba_n_obs"]),
-                        m_plain["ba_rms_px"], int(m_plain["ba_n_obs"]),
-                    )
-                    state, ba_metrics = state_plain, m_plain
-                    metrics["rotavg_applied"] = 0.0
+                metrics["rotavg_applied"] = applied
         if ba_metrics is None:
             state, ba_metrics = self._run_global_ba(
                 state, kp, pp, anchor=vi, return_metrics=True
@@ -975,6 +995,9 @@ class SfMPipeline:
         run_ba_every_view: bool = True,
         max_new_views: Optional[int] = None,
         ckpt_cb=None,
+        guided_ctx=None,
+        metrics: Optional[Dict[str, float]] = None,
+        guided_block: Optional[List[int]] = None,
     ) -> ReconstructionState:
         """Grow one connected component by PnP registration + triangulation
         (the reference's addMoreViews loop, src/Sfm.cpp:893-1009). `done` is
@@ -1004,6 +1027,11 @@ class SfMPipeline:
         # against an unchanged map — 4 wasted fused dispatches per round
         # on temple (~0.5 s of the incremental stage).
         failed: dict = {}
+        # Views registered from the first guided success onward form the
+        # guided-rooted BLOCK: their placement hangs off a bridge pose
+        # built on 2D evidence, so the post-grow structural realign
+        # (merge.block_realign) re-verifies them as a rigid body.
+        post_guided = guided_block is not None and len(guided_block) > 0
         progress = True
         while progress:
             progress = False
@@ -1064,6 +1092,42 @@ class SfMPipeline:
                         int(x) for x in np.asarray(stats)
                     )
                     ovf = 0
+                guided = False
+                if not ok and guided_ctx is not None:
+                    gr = self._guided_attempt(
+                        state, new_view, done, keys, tables, kp, colors,
+                        K, dist, max_dim, guided_ctx, sizes,
+                    )
+                    if gr is not None:
+                        state_g, g_stats = gr
+                        (
+                            g_ok, g_inl, g_sup, g_pts, g_obs,
+                            g_anch0, g_anch1, g_basin, g_s1000, g_votes,
+                        ) = (int(x) for x in np.asarray(g_stats))
+                        log.info(
+                            "view %d guided diag: anch=(%d,%d) basin=%d "
+                            "s=%.3f votes=%d",
+                            new_view, g_anch0, g_anch1, g_basin,
+                            g_s1000 / 1000.0, g_votes,
+                        )
+                        if g_ok:
+                            state = state_g
+                            ok, n_inl, n_support = g_ok, g_inl, g_sup
+                            sizes = (g_pts, g_obs)
+                            guided = True
+                            if run_ba_every_view:
+                                state = self._run_global_ba(
+                                    state, kp, pp, anchor=anchor,
+                                    intermediate=True, sizes=sizes,
+                                )
+                            if metrics is not None:
+                                metrics["n_guided_registered"] += 1
+                        else:
+                            log.info(
+                                "view %d: guided bridge also failed "
+                                "(%d inliers of %d guided support)",
+                                new_view, g_inl, g_sup,
+                            )
                 if not ok:
                     log.warning(
                         "view %d: PnP failed (%d inliers of %d 2D-3D "
@@ -1074,11 +1138,16 @@ class SfMPipeline:
                     stale.add(new_view)
                     continue
                 log.info(
-                    "view %d registered (%d PnP inliers)",
+                    "view %d registered (%d %sPnP inliers)",
                     new_view,
                     n_inl,
+                    "guided " if guided else "",
                 )
                 done.add(new_view)
+                if guided:
+                    post_guided = True
+                if post_guided and guided_block is not None:
+                    guided_block.append(new_view)
                 n_grown += 1
                 progress = True
                 sizes = (n_pts, n_obs)
@@ -1098,6 +1167,135 @@ class SfMPipeline:
             if len(done) + len(exclude) >= V:
                 break
         return state
+
+    def _accept_reinit(self, cand, snap, kp, pp, anchor, tag):
+        """Polish a re-initialized state and keep it only if it does not
+        regress a polish-only run (revert gate shared by the guided-block
+        realign and the rotation-averaging reinit). Loop closure / realign
+        legitimately ADD re-fused higher-residual tracks, so a small RMS
+        margin is allowed but never a support collapse. Returns
+        (state, ba_metrics, applied)."""
+        cand = self._run_global_ba(
+            cand, kp, pp, anchor=anchor, intermediate=True
+        )
+        cand, m_c = self._run_global_ba(
+            cand, kp, pp, anchor=anchor, return_metrics=True
+        )
+        plain, m_p = self._run_global_ba(
+            snap, kp, pp, anchor=anchor, return_metrics=True
+        )
+        ok = (
+            m_c["ba_rms_px"] <= m_p["ba_rms_px"] + 0.25
+            and m_c["ba_n_obs"] >= 0.8 * m_p["ba_n_obs"]
+        )
+        if ok:
+            log.info(
+                "%s accepted: RMS %.3f px / %d obs (polish-only %.3f px "
+                "/ %d obs)", tag, m_c["ba_rms_px"], int(m_c["ba_n_obs"]),
+                m_p["ba_rms_px"], int(m_p["ba_n_obs"]),
+            )
+            return cand, m_c, 1.0
+        log.warning(
+            "%s reverted: RMS %.3f px / %d obs vs polish-only %.3f px "
+            "/ %d obs", tag, m_c["ba_rms_px"], int(m_c["ba_n_obs"]),
+            m_p["ba_rms_px"], int(m_p["ba_n_obs"]),
+        )
+        return plain, m_p, 0.0
+
+    def _guided_attempt(
+        self, state, new_view: int, done: set, keys, tables, kp, colors,
+        K, dist, max_dim, guided_ctx, sizes,
+    ):
+        """Host side of guided bridge registration (pipeline/guided.py).
+
+        Builds the coarse-pose candidates from the pose-graph edge to the
+        best-matched done view (rotation known from two-view scoring up to
+        the epipolar basin; baseline scale swept in-kernel) and invokes the
+        fused guided-register program. Returns (state, stats) or None when
+        no usable edge exists. The reference has no analogue — it loses
+        the view (src/Sfm.cpp:955-958)."""
+        from sfm_danpipeline_tpu.ops.lie import exp_so3 as _exp
+        from sfm_danpipeline_tpu.pipeline.guided import (
+            guided_bridge_register,
+        )
+
+        cfg = self.config
+        g = cfg.geometry
+        if not g.guided_enable or len(done) < g.guided_min_done:
+            return None
+        scores, pair_of = guided_ctx
+        n_match_np = np.asarray(scores.n_matches)
+        best, d_star = -1, None
+        for d in sorted(done):
+            p = pair_of.get((min(d, new_view), max(d, new_view)))
+            if p is not None and int(n_match_np[p]) > best:
+                best, d_star = int(n_match_np[p]), d
+        if d_star is None or best < 16:
+            return None
+        p = pair_of[(min(d_star, new_view), max(d_star, new_view))]
+        R_rel = np.asarray(scores.R_rel[p])  # (2, 3, 3) basin candidates
+        t_rel = np.asarray(scores.t_rel[p])  # (2, 3) unit baselines
+        if d_star < new_view:
+            # pair (d, new): x_new = R_rel x_d + t_rel, as stored.
+            R_dn = R_rel
+            t_dn = t_rel
+        else:
+            # pair (new, d): x_d = R_rel x_new + t_rel  ->  invert.
+            R_dn = np.swapaxes(R_rel, 1, 2)
+            t_dn = -np.einsum("bji,bj->bi", R_rel, t_rel)
+        cams = np.asarray(state.cameras)
+        done_sorted = sorted(done)
+        R_done = np.asarray(jax.vmap(_exp)(
+            jnp.asarray(cams[done_sorted, :3])
+        ))
+        C_done = -np.einsum("vij,vi->vj", R_done, cams[done_sorted, 3:])
+        # Baseline-scale sweep range from the component's own spacing:
+        # median nearest-neighbor camera-center distance, both signs.
+        if len(done_sorted) >= 2:
+            d2 = np.linalg.norm(
+                C_done[:, None, :] - C_done[None, :, :], axis=-1
+            )
+            np.fill_diagonal(d2, np.inf)
+            b_med = float(np.median(d2.min(axis=1)))
+        else:
+            b_med = 1.0
+        n_sweep = (cfg.geometry.guided_n_scales // 2) * 2
+        # Floor at 0.4x the typical spacing: the projection-vote sweep has
+        # a degenerate attractor at tiny baselines (at s ~ 0 every far map
+        # point projects consistently regardless of depth — measured r5:
+        # the bridge chain collapsed to 0.1x spacing). Anchored evidence
+        # (the fine grid) may still go below when the tracks support it.
+        s_pos = np.linspace(0.4, 5.0, n_sweep // 2) * max(b_med, 1e-6)
+        sweep = np.concatenate([s_pos, -s_pos]).astype(np.float32)
+        V = state.n_views
+        dv = np.full((V,), -1, np.int32)
+        dv[: len(done_sorted)] = done_sorted
+        n_bucket = _bucket(int(1.2 * sizes[0]) + 64, state.capacity)
+        if n_bucket > 8192:
+            # The K x B affinity matrix would leave the cheap regime; maps
+            # this large have dense covisibility and rarely starve anyway.
+            log.info("guided bridge skipped: map too large (%d)", n_bucket)
+            return None
+        key = keys[self._key_n % len(keys)]
+        self._key_n += 1
+        log.info(
+            "view %d: guided bridge attempt via edge to view %d "
+            "(%d scored matches, b_med %.4f)",
+            new_view, d_star, best, b_med,
+        )
+        state, stats = guided_bridge_register(
+            key, state, jnp.asarray(new_view, jnp.int32),
+            jnp.asarray(dv), jnp.asarray(d_star, jnp.int32),
+            jnp.asarray(R_dn, jnp.float32),
+            jnp.asarray(t_dn, jnp.float32),
+            jnp.asarray(sweep),
+            kp.xy, kp.descriptors, kp.valid, colors,
+            tables[0], tables[1], tables[2],
+            K, dist, jnp.asarray(max_dim, jnp.float32),
+            jnp.asarray(b_med, jnp.float32), cfg,
+            n_bucket, int(n_sweep),
+        )
+        return state, stats
 
     def _frontier(self, done: set, failed: set, V: int) -> List[int]:
         """Index-neighbor frontier (reference: +-1 of done views,
