@@ -148,7 +148,16 @@ class GeometryConfig:
     # done view, baseline scale from a 1-parameter consensus sweep,
     # support from direct keypoint-vs-projected-map descriptor matching.
     # The PnP acceptance bar (pnp_min_inliers) is unchanged.
-    guided_enable: bool = True
+    # DEFAULT OFF (r5 measurement): on the temple's near-periodic
+    # colonnade the guided chain registers 10/10 in one component but its
+    # cross-break pose quality is seed-unstable (5-seed ATE 3.2-12.1% of
+    # trajectory diameter vs 0.34% via the secondary-component + Sim(3)
+    # merge path; two seeds breach the 5% gate), and the structural
+    # block-realign pass cannot reliably recover it (2-15 Sim(3) inliers
+    # of ~200 candidates — the bent basin suppresses the true-mode
+    # evidence). The verified merge path stays the default; enable for
+    # scenes without repeated structure or for experimentation.
+    guided_enable: bool = False
     # Minimum registered views before the guided fallback may fire (a
     # tiny map projects too little support to be trustworthy).
     guided_min_done: int = 4

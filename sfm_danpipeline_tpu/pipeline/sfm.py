@@ -257,6 +257,205 @@ def _register_adjust_step(
     return state, stats
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "n_bucket", "n_obs_bucket", "fix_focal", "max_error_px",
+    ),
+)
+def _bootstrap_adjust_step(
+    key: jax.Array,
+    state: ReconstructionState,
+    matches_one,
+    keypoints_xy: jnp.ndarray,
+    colors: jnp.ndarray,
+    view_i: jnp.ndarray,
+    view_j: jnp.ndarray,
+    pp: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    fix_cam: jnp.ndarray,
+    basin: jnp.ndarray,
+    config: PipelineConfig,
+    n_bucket: int,
+    n_obs_bucket: int,
+    fix_focal: bool,
+    max_error_px: float,
+):
+    """ONE dispatch per seed attempt: two-view bootstrap + the first
+    intermediate bundle adjustment, BA skipped in-graph when the pose or
+    angle gate rejects. The split form cost an extra tunnel round-trip per
+    (pair, basin) attempt in the baseline stage — the stage r4 measured as
+    dispatch-count-bound (1.44 s of mostly RTT; reference flow:
+    src/Sfm.cpp:420-489 + the stubbed adjustCurrentBundle)."""
+    state, ok, med_ang = bootstrap_pair(
+        key, state, matches_one, keypoints_xy, colors, view_i, view_j,
+        K, dist, config, basin,
+    )
+
+    def do_ba(st):
+        st2, _, _, _, _, _ = _ba_core(
+            st, keypoints_xy, pp, fix_cam, n_bucket, n_obs_bucket,
+            config.ba, fix_focal, max_error_px,
+            jnp.asarray(config.ba.intermediate_iterations, jnp.int32),
+        )
+        return st2
+
+    state = jax.lax.cond(ok, do_ba, lambda st: st, state)
+    return state, ok, med_ang
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "n_bucket", "n_obs_bucket", "fix_focal", "max_error_px",
+    ),
+)
+def _merge_attempt_step(
+    key: jax.Array,
+    state_a: ReconstructionState,
+    state_b: ReconstructionState,
+    b_mask: jnp.ndarray,  # (V,) views of component B
+    dv_a: jnp.ndarray,  # (V,) A's done view ids, -1 padded
+    feat_tab_a: jnp.ndarray,
+    feat_tab_b: jnp.ndarray,
+    valid_tab_strict: jnp.ndarray,
+    keypoints_xy: jnp.ndarray,
+    colors: jnp.ndarray,
+    pp: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    fix_cam: jnp.ndarray,
+    config: PipelineConfig,
+    n_bucket: int,
+    n_obs_bucket: int,
+    fix_focal: bool,
+    max_error_px: float,
+):
+    """The ENTIRE Sim(3) merge attempt in one dispatch: cross-component
+    3D-3D candidates -> reprojection-scored Sim(3) RANSAC -> (in-graph,
+    conditional) merge + pre-BA gate 1 -> cross-triangulation of every B
+    view against A -> intermediate BA -> post-BA cross-track gate 2, with
+    revert-to-A when any gate fails.
+
+    The split form ran ~10 dispatches + ~6 host fetches per merge through
+    the tunnel and was ~half the components stage's 1.13 s (r4 backlog
+    #2); it also compiled six separate programs where the axon service
+    charges 30-500 s per program at first execution (warmup). Returns
+    (state, stats[7] = [accepted, sim_ok, n_sim_inliers, 1000*med_gate1,
+    1000*med_gate2, n_cross_tracks, 1000*scale])."""
+    from sfm_danpipeline_tpu.ops.similarity import (
+        estimate_sim3_reproj_ransac,
+    )
+    from sfm_danpipeline_tpu.pipeline.merge import (
+        cross_component_pairs,
+        merge_components,
+        views_reprojection_median,
+    )
+
+    V = state_a.n_views
+    cfg_g = config.geometry
+    zero = jnp.zeros((), jnp.float32)
+    one = jnp.ones((), jnp.float32)
+    K_cur = jnp.stack(
+        [
+            jnp.stack([state_a.focal, zero, pp[0]]),
+            jnp.stack([zero, state_a.focal, pp[1]]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+    Xa, Xb, pid_a, pid_b, va, fa, m = cross_component_pairs(
+        state_a, state_b, feat_tab_a, feat_tab_b, valid_tab_strict
+    )
+    simres = estimate_sim3_reproj_ransac(
+        key, Xb, Xa, state_a.cameras[va], keypoints_xy[va, fa], K_cur, m,
+        threshold_px=0.75 * cfg_g.max_merge_reprojection_px,
+        n_hypotheses=16384,
+        min_inliers=8,
+    )
+
+    def cross_med(st):
+        has_obs = st.track_feat >= 0
+        seen_b = jnp.any(has_obs & b_mask[None, :], axis=1)
+        seen_a = jnp.any(
+            has_obs & (~b_mask & st.camera_valid)[None, :], axis=1
+        )
+        cross_pts = seen_a & seen_b & st.points_valid
+        med = views_reprojection_median(
+            st, b_mask, keypoints_xy, K_cur, points_mask=cross_pts
+        )
+        return med, jnp.sum(cross_pts)
+
+    def attempt(_):
+        cand = merge_components(
+            state_a, state_b, simres.sim, pid_a, pid_b, simres.inliers
+        )
+        med1, _ = cross_med(cand)
+        g1 = med1 <= cfg_g.max_merge_reprojection_px
+
+        def rest(cand):
+            def body(st, v):
+                def tri(st):
+                    st2, _ = triangulate_new_view_all(
+                        st, v, dv_a, feat_tab_a, feat_tab_b,
+                        valid_tab_strict, keypoints_xy, colors, K, dist,
+                        config,
+                    )
+                    return st2
+
+                return jax.lax.cond(b_mask[v], tri, lambda s: s, st), None
+
+            cand, _ = jax.lax.scan(
+                body, cand, jnp.arange(V, dtype=jnp.int32)
+            )
+            cand, _, _, _, _, _ = _ba_core(
+                cand, keypoints_xy, pp, fix_cam, n_bucket, n_obs_bucket,
+                config.ba, fix_focal, max_error_px,
+                jnp.asarray(config.ba.intermediate_iterations, jnp.int32),
+            )
+            med2, ncross = cross_med(cand)
+            return cand, med2, ncross
+
+        cand2, med2, ncross = jax.lax.cond(
+            g1,
+            rest,
+            lambda c: (state_a, jnp.asarray(jnp.inf), jnp.asarray(0)),
+            cand,
+        )
+        return cand2, med1, med2, ncross
+
+    def skip(_):
+        return (
+            state_a, jnp.asarray(jnp.inf), jnp.asarray(jnp.inf),
+            jnp.asarray(0),
+        )
+
+    cand, med1, med2, ncross = jax.lax.cond(
+        simres.ok, attempt, skip, None
+    )
+    accepted = (
+        simres.ok
+        & (med1 <= cfg_g.max_merge_reprojection_px)
+        & (med2 <= 0.5 * cfg_g.max_merge_reprojection_px)
+    )
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accepted, a, b), cand, state_a
+    )
+    med_cap = lambda x: jnp.minimum(x, 1e6)  # noqa: E731
+    stats = jnp.stack(
+        [
+            accepted.astype(jnp.int32),
+            simres.ok.astype(jnp.int32),
+            simres.n_inliers.astype(jnp.int32),
+            (1000.0 * med_cap(med1)).astype(jnp.int32),
+            (1000.0 * med_cap(med2)).astype(jnp.int32),
+            ncross.astype(jnp.int32),
+            (1000.0 * simres.sim.s).astype(jnp.int32),
+        ]
+    )
+    return state, stats
+
+
 @dataclasses.dataclass
 class SfMResult:
     state: ReconstructionState
@@ -657,137 +856,74 @@ class SfMPipeline:
             # the temple secondary component).
             state_b = self._run_global_ba(state_b, kp, pp, anchor=bi)
             metrics["n_components"] += 1
-            # --- Sim(3) alignment B -> A: hypotheses from cross-component
-            # 3D-3D pairs, support counted by 2D reprojection into A's views
-            # (3D-3D scoring alone accepted wrong-scale merges — VERDICT r2).
-            from sfm_danpipeline_tpu.ops.similarity import (
-                estimate_sim3_reproj_ransac,
-            )
-            from sfm_danpipeline_tpu.pipeline.merge import (
-                cross_component_pairs,
-                merge_components,
-                views_reprojection_median,
-            )
-
-            # Strict-ratio matches only: cross-component candidates are the
-            # scarce resource whose PRECISION (not count) decides whether
-            # 3-point RANSAC can see the consensus — loose bridge matches
-            # ran ~3% inliers (9/383, r3 diagnostic) which no sample budget
-            # reaches reliably.
-            Xa, Xb, pid_a, pid_b, va, fa, m = cross_component_pairs(
-                state, state_b, ft_a, ft_b, vt_strict
-            )
-            K_cur = jnp.asarray(
-                [[state.focal, 0.0, pp[0]],
-                 [0.0, state.focal, pp[1]],
-                 [0.0, 0.0, 1.0]]
-            )
-            simres = estimate_sim3_reproj_ransac(
-                keys[self._key_n % len(keys)], Xb, Xa,
-                state.cameras[va], kp.xy[va, fa], K_cur, m,
-                threshold_px=0.75 * cfg.geometry.max_merge_reprojection_px,
-                n_hypotheses=16384,
-                min_inliers=8,
+            # --- Sim(3) alignment B -> A in ONE fused dispatch
+            # (_merge_attempt_step): cross-component 3D-3D candidates from
+            # STRICT matches (precision over count — loose bridge matches
+            # ran ~3% inliers, r3 diagnostic), reprojection-scored Sim(3)
+            # RANSAC (3D-3D scoring alone accepted wrong-scale merges —
+            # VERDICT r2), pre-BA gate 1 (loose 8 px prefilter), dense
+            # cross-triangulation of every B view, intermediate BA, and
+            # the decisive post-BA cross-track gate 2 with in-graph
+            # revert. The split form's ~10 dispatches + ~6 fetches were
+            # half the components stage (r4 backlog #2).
+            b_mask = np.zeros(V, bool)
+            b_mask[sorted(done_b)] = True
+            dv_a = np.full((V,), -1, np.int32)
+            a_views = sorted(done)
+            dv_a[: len(a_views)] = a_views
+            n_pts_ab = int(state.n_points) + int(state_b.n_points)
+            n_obs_ab = int(_count_obs(state)) + int(_count_obs(state_b))
+            n_bucket = _bucket(int(1.3 * n_pts_ab) + 256, cfg.max_points)
+            need = max(1024, int(1.5 * n_obs_ab) + 4096)
+            n_obs_bucket = min(1 << (need - 1).bit_length(), n_bucket * V)
+            fixv = np.zeros(V, bool)
+            fixv[vi] = True
+            state_m, mstats = _merge_attempt_step(
+                keys[self._key_n % len(keys)], state, state_b,
+                jnp.asarray(b_mask), jnp.asarray(dv_a), ft_a, ft_b,
+                vt_strict, kp.xy, colors, pp, K, dist, jnp.asarray(fixv),
+                cfg, n_bucket, n_obs_bucket,
+                not cfg.ba.optimize_focal,
+                float(cfg.geometry.max_reprojection_error_px),
             )
             self._key_n += 1
-
-            def cross_median(st, b_mask_j):
-                """(median reproj px, count) of cross-observed tracks in
-                B views — the only observations that witness merge quality."""
-                has_obs = st.track_feat >= 0
-                seen_b = jnp.any(has_obs & b_mask_j[None, :], axis=1)
-                seen_a = jnp.any(
-                    has_obs & (~b_mask_j & st.camera_valid)[None, :], axis=1
+            (
+                accepted, sim_ok, n_sim_inl, med1_m, med2_m, n_cross,
+                s_m,
+            ) = (int(x) for x in np.asarray(mstats))
+            if accepted:
+                log.info(
+                    "merging component %s into main (%d Sim3 inliers, "
+                    "scale %.3f, gate1 %.2f px, post-BA gate2 %.2f px "
+                    "over %d cross tracks)",
+                    sorted(done_b), n_sim_inl, s_m / 1000.0,
+                    med1_m / 1000.0, med2_m / 1000.0, n_cross,
                 )
-                cross_pts = seen_a & seen_b & st.points_valid
-                med = float(
-                    views_reprojection_median(
-                        st, b_mask_j, kp.xy, K_cur, points_mask=cross_pts
+                state = state_m
+                done = done | done_b
+                metrics["n_merged_components"] += 1
+                metrics["merge_cross_med_px"] = med2_m / 1000.0
+                metrics["n_cross_tracks"] = n_cross
+            else:
+                if not sim_ok:
+                    log.warning(
+                        "component %s: Sim3 alignment failed (%d inliers)"
+                        " — dropping it", sorted(done_b), n_sim_inl,
                     )
-                )
-                return med, int(jnp.sum(cross_pts))
-
-            merged_ok = False
-            if bool(simres.ok):
-                cand = merge_components(
-                    state, state_b, simres.sim, pid_a, pid_b, simres.inliers
-                )
-                # Acceptance gate 1: cross-observed tracks (points seen in
-                # BOTH components' views) must reproject through the merged
-                # cameras. B-only observations are similarity-invariant and
-                # prove nothing; the fused tracks are the only witnesses of
-                # a wrong-scale Sim(3) (VERDICT r2 weak #1). A wrong-scale
-                # merge measured 7.1 px median here; a correct one ~1-2 px.
-                b_mask = np.zeros(V, bool)
-                b_mask[sorted(done_b)] = True
-                b_mask_j = jnp.asarray(b_mask)
-                med_px, _ = cross_median(cand, b_mask_j)
-                # Gate 1 is a LOOSE prefilter (full 8 px bound): the
-                # pre-BA Sim(3) places two independently-drifted
-                # components together, and 4-7 px pre-BA medians measured
-                # on valid merges (seed sweep, r4). The decisive check is
-                # gate 2 below — post-BA median over the dense fused
-                # cross-tracks, with revert — which a wrong-scale merge
-                # cannot pass.
-                if med_px <= cfg.geometry.max_merge_reprojection_px:
-                    # Cross-triangulation: a Sim(3) consensus of ~10 tracks
-                    # cannot hold two rigid bodies together through BA
-                    # (prune deletes the few cross obs and the combined
-                    # problem regains a relative-gauge DOF). Triangulate
-                    # every B view against the A views to create dense
-                    # cross-component tracks, THEN bundle-adjust, then
-                    # re-gate — a wrong merge cannot survive this.
-                    dv_a = np.full((V,), -1, np.int32)
-                    a_views = sorted(done)
-                    dv_a[: len(a_views)] = a_views
-                    dv_aj = jnp.asarray(dv_a)
-                    for b in sorted(done_b):
-                        cand, _ = triangulate_new_view_all(
-                            cand, jnp.asarray(b, jnp.int32), dv_aj,
-                            ft_a, ft_b, vt_strict, kp.xy, colors, K, dist,
-                            cfg,
-                        )
-                    done_c = done | done_b
-                    cand = self._run_global_ba(
-                        cand, kp, pp, anchor=vi, intermediate=True
-                    )
-                    med_px2, n_cross = cross_median(cand, b_mask_j)
-                    if med_px2 <= 0.5 * cfg.geometry.max_merge_reprojection_px:
-                        log.info(
-                            "merging component %s into main (%d/%d Sim3 "
-                            "inliers, scale %.3f, gate1 %.2f px, post-BA "
-                            "gate2 %.2f px over %d cross tracks)",
-                            sorted(done_b), int(simres.n_inliers),
-                            int(jnp.sum(m)), float(simres.sim.s), med_px,
-                            med_px2, n_cross,
-                        )
-                        state = cand
-                        done = done_c
-                        metrics["n_merged_components"] += 1
-                        metrics["merge_cross_med_px"] = med_px2
-                        metrics["n_cross_tracks"] = n_cross
-                        merged_ok = True
-                    else:
-                        log.warning(
-                            "component %s: merge rejected by post-BA "
-                            "cross-track gate (median %.2f px)",
-                            sorted(done_b), med_px2,
-                        )
-                else:
+                elif med1_m / 1000.0 > cfg.geometry.max_merge_reprojection_px:
                     log.warning(
                         "component %s: Sim(3) rejected by reprojection "
                         "gate (median %.2f px > %.1f)",
-                        sorted(done_b), med_px,
+                        sorted(done_b), med1_m / 1000.0,
                         cfg.geometry.max_merge_reprojection_px,
                     )
-            else:
-                log.warning(
-                    "component %s: Sim3 alignment failed (%d candidate "
-                    "pairs, %d inliers) — dropping it",
-                    sorted(done_b), int(jnp.sum(m)), int(simres.n_inliers),
-                )
-            if not merged_ok:
-                lost |= done_b  # its views stay unregistered in the result
+                else:
+                    log.warning(
+                        "component %s: merge rejected by post-BA "
+                        "cross-track gate (median %.2f px)",
+                        sorted(done_b), med2_m / 1000.0,
+                    )
+                lost |= done_b  # its views stay unregistered
             self._save_ckpt(state, done, lost, vi)
 
         # 4c. Straggler sweep: a bridging view that failed PnP against
@@ -939,9 +1075,27 @@ class SfMPipeline:
                     V, cfg.features.max_keypoints, cfg.max_points,
                     intrinsics.fx,
                 )
-                st, ok, med_ang = bootstrap_pair(
+                # Fused bootstrap + first intermediate BA: one dispatch +
+                # one fetch per (pair, basin) attempt instead of two of
+                # each (the baseline stage is dispatch-RTT-bound, r4
+                # backlog #2).
+                n_bucket = _bucket(
+                    cfg.matching.max_matches + 256, cfg.max_points
+                )
+                need = max(1024, 2 * cfg.matching.max_matches + 512)
+                n_obs_bucket = min(
+                    1 << (need - 1).bit_length(), n_bucket * V
+                )
+                fixv = np.zeros(V, bool)
+                fixv[bi] = True
+                st, ok, med_ang = _bootstrap_adjust_step(
                     keys[self._key_n % len(keys)], st, bm, kp.xy, colors,
-                    bi, bj, K, dist, cfg, basin,
+                    jnp.asarray(bi, jnp.int32), jnp.asarray(bj, jnp.int32),
+                    pp, K, dist, jnp.asarray(fixv),
+                    jnp.asarray(basin, jnp.int32), cfg,
+                    n_bucket, n_obs_bucket,
+                    not cfg.ba.optimize_focal,
+                    float(cfg.geometry.max_reprojection_error_px),
                 )
                 self._key_n += 1
                 if not bool(ok):
@@ -951,9 +1105,6 @@ class SfMPipeline:
                         bi, bj, basin, float(med_ang),
                     )
                     continue
-                st = self._run_global_ba(
-                    st, kp, pp, anchor=bi, intermediate=True
-                )
                 done_b = {bi, bj}
                 if not can_validate:
                     return st, done_b, (bi, bj)
