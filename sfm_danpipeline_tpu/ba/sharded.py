@@ -28,8 +28,16 @@ from sfm_danpipeline_tpu.ba.solver import BAResult, run_ba
 
 
 def default_mesh(axis: str = "d") -> Mesh:
-    """1-D mesh over all local devices."""
-    return jax.make_mesh((jax.device_count(),), (axis,))
+    """1-D mesh over all LOCAL devices.
+
+    Local, not global: this mesh backs the sharded paths INSIDE the
+    single-process pipeline (SfMPipeline). In a multi-process job only
+    process 0 runs that pipeline (single-writer + broadcast,
+    parallel/distributed.run_sfm_multihost), so a global mesh here would
+    issue collectives the other processes never join — measured r5 as a
+    gloo deadlock in the 2-process driver test. Cross-process sharding
+    belongs to run_ba_multihost, which every process enters together."""
+    return Mesh(np.asarray(jax.local_devices()), (axis,))
 
 
 def pad_observations(problem: BAProblem, multiple: int) -> BAProblem:

@@ -236,6 +236,8 @@ def run_sfm_multihost(
     if config is None:
         config = PipelineConfig()
 
+    import dataclasses
+
     kp = compute_features_multihost(images, config)
     # Canonicalize keypoint xy to ideal pinhole pixels BEFORE matching when
     # the lens model is nonzero, matching the single-host order
@@ -259,21 +261,112 @@ def run_sfm_multihost(
         config,
         checkpoint_path=checkpoint_path if jax.process_index() == 0 else None,
     )
-    result = pipe.run(
-        images,
-        intrinsics,
-        run_ba_every_view=run_ba_every_view,
-        precomputed_keypoints=kp,
-        precomputed_matches=matches,
-        precomputed_canonical=True,
-        precomputed_raw_xy=raw_xy,
-    )
+    nproc = jax.process_count()
+    if nproc > 1:
+        # SINGLE-WRITER incremental loop + broadcast (r5): the sequential
+        # control loop is deterministic, so replicating it on every
+        # process buys nothing and COSTS two ways — N-fold wasted compute,
+        # and on shared boxes memory-bandwidth contention that measured
+        # as the Amdahl fraction capping e2e efficiency at 64-66%
+        # (tools/bench_multihost.py, r4/r5). Process 0 runs the loop
+        # alone (others block cheaply in the collective), then the state
+        # broadcasts once — bitwise identical everywhere, unlike
+        # replicated execution only by construction.
+        from jax.experimental import multihost_utils
+
+        from sfm_danpipeline_tpu.pipeline.sfm import SfMResult
+        from sfm_danpipeline_tpu.pipeline.tracks import init_state
+
+        _BCAST_METRICS = (
+            "ba_rms_px", "ba_n_obs", "ba_iterations", "n_points",
+            "n_registered", "n_components", "n_merged_components",
+            "merge_cross_med_px", "n_cross_tracks", "n_keypoints_mean",
+            "focal",
+        )
+        if jax.process_index() == 0:
+            result = pipe.run(
+                images,
+                intrinsics,
+                run_ba_every_view=run_ba_every_view,
+                precomputed_keypoints=kp,
+                precomputed_matches=matches,
+                precomputed_canonical=True,
+                precomputed_raw_xy=raw_xy,
+            )
+            state0 = result.state
+            reg = np.zeros((images.n_images,), np.int32)
+            reg[result.registered_views] = 1
+            mvec = np.asarray(
+                [float(result.metrics.get(k, np.nan))
+                 for k in _BCAST_METRICS],
+                np.float32,
+            )
+        else:
+            state0 = init_state(
+                images.n_images, config.features.max_keypoints,
+                config.max_points, float(intrinsics.fx),
+            )
+            reg = np.zeros((images.n_images,), np.int32)
+            mvec = np.zeros((len(_BCAST_METRICS),), np.float32)
+        # Broadcast = pack the whole pytree into ONE flat byte buffer,
+        # ONE tiled allgather (a single compiled collective — per-leaf
+        # broadcasts compiled a program per shape and serialized ~10
+        # gloo rounds), take process 0's block, unpack.
+        tree0 = (state0, reg, mvec)
+        leaves0 = jax.tree_util.tree_leaves(tree0)
+        treedef = jax.tree_util.tree_structure(tree0)
+        np_leaves = [np.asarray(x) for x in leaves0]
+        buf = np.frombuffer(
+            b"".join(x.tobytes() for x in np_leaves), np.uint8
+        )
+        got = np.asarray(
+            multihost_utils.process_allgather(buf[None], tiled=True)
+        )[0]
+        out_leaves = []
+        off = 0
+        for ref in np_leaves:
+            nb = ref.nbytes
+            out_leaves.append(
+                np.frombuffer(got[off: off + nb].tobytes(), ref.dtype)
+                .reshape(ref.shape)
+            )
+            off += nb
+        state, reg, mvec = jax.tree_util.tree_unflatten(
+            treedef, out_leaves
+        )
+        state = jax.tree_util.tree_map(jnp.asarray, state)
+        reg = np.asarray(reg)
+        mvec = np.asarray(mvec)
+        if jax.process_index() == 0:
+            result = dataclasses.replace(result, state=state)
+        else:
+            valid = np.asarray(state.points_valid)
+            result = SfMResult(
+                state=state,
+                keypoints=kp,
+                points=np.asarray(state.points_xyz)[valid],
+                colors=np.asarray(state.points_rgb)[valid],
+                registered_views=[int(v) for v in np.where(reg)[0]],
+                metrics={
+                    k: float(v) for k, v in zip(_BCAST_METRICS, mvec)
+                    if not np.isnan(v)
+                },
+                raw_xy=raw_xy,
+            )
+    else:
+        result = pipe.run(
+            images,
+            intrinsics,
+            run_ba_every_view=run_ba_every_view,
+            precomputed_keypoints=kp,
+            precomputed_matches=matches,
+            precomputed_canonical=True,
+            precomputed_raw_xy=raw_xy,
+        )
     if not result.registered_views:
         return result
 
     # Multi-host global polish: shard the compact observation rows.
-    import dataclasses
-
     from sfm_danpipeline_tpu.pipeline.tracks import (
         observation_table_compact,
     )

@@ -46,7 +46,10 @@ def match_all_pairs_sharded(
     (production parity with the single-device path, pipeline/sfm.py).
     """
     if mesh is None:
-        mesh = jax.make_mesh((jax.device_count(),), (axis,))
+        # LOCAL devices (cf. ba/sharded.default_mesh): the in-pipeline
+        # sharded matcher must not issue global collectives a passive
+        # process never joins (single-writer multi-host driver, r5).
+        mesh = Mesh(np.asarray(jax.local_devices()), (axis,))
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     NP = pair_i.shape[0]
     pad = (-NP) % n_dev

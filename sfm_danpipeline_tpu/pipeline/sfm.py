@@ -696,7 +696,10 @@ class SfMPipeline:
             # (VERDICT r2 weak #7).
             loose = max(cfg.matching.ratio, cfg.matching.registration_ratio)
             use_pallas = jax.default_backend() == "tpu"
-            if jax.device_count() > 1 and len(pi) >= jax.device_count():
+            if (
+                jax.local_device_count() > 1
+                and len(pi) >= jax.local_device_count()
+            ):
                 from sfm_danpipeline_tpu.parallel.matching import (
                     match_all_pairs_sharded,
                 )
@@ -1726,7 +1729,7 @@ class SfMPipeline:
         n_obs_bucket = min(n_obs_bucket, n_bucket * V)
         lv = jnp.asarray(-1 if local_view is None else local_view, jnp.int32)
         if (
-            jax.device_count() > 1
+            jax.local_device_count() > 1
             and not intermediate
             and local_view is None
             and n_obs_live >= ba_cfg.sharded_min_obs

@@ -85,7 +85,7 @@ def one_round():
     return time.time() - t0, len(res.registered_views), len(res.points)
 
 one_round()  # warmup: compiles
-best = min(one_round() for _ in range(2))
+best = min(one_round() for _ in range(3))
 if pid == 0:
     t, nreg, npts = best
     print(json.dumps({"nproc": nproc, "t_e2e": t,
