@@ -99,17 +99,39 @@ def epipolar_prefilter_table(
     (src/Sfm.cpp:610-662,725), hoisted out of the loop.
     """
     P = pair_i.shape[0]
-    keys = jax.random.split(key, P)
 
     def one(k, ia, ib, v, i, j):
         pn = keypoints_xy[i, ia]
         pd = keypoints_xy[j, ib]
         return _epipolar_filter_core(k, pn, pd, v, K, dist, config)
 
-    filt = jax.vmap(one)(keys, idx_a, idx_b, valid, pair_i, pair_j)
+    # Chunked batching: vmap within fixed-size chunks, lax.map across
+    # them. A flat vmap over all pairs scales the compiled graph with
+    # O(V^2) and crashed the TPU compiler at 1225 pairs (V=50 ring); the
+    # chunked form compiles one 64-wide RANSAC body regardless of V.
+    C = min(64, P)
+    padP = (-P) % C
+    pi_p = jnp.pad(pair_i, (0, padP))  # dummies land on the (0, 0) diag,
+    pj_p = jnp.pad(pair_j, (0, padP))  # which no (new, done) read touches
+    ia_p = jnp.pad(idx_a, ((0, padP), (0, 0)))
+    ib_p = jnp.pad(idx_b, ((0, padP), (0, 0)))
+    v_p = jnp.pad(valid, ((0, padP), (0, 0)))
+    keys = jax.random.split(key, P + padP)
+    nch = (P + padP) // C
+
+    def chunk(args):
+        return jax.vmap(one)(*args)
+
+    filt = jax.lax.map(
+        chunk,
+        tuple(
+            a.reshape((nch, C) + a.shape[1:])
+            for a in (keys, ia_p, ib_p, v_p, pi_p, pj_p)
+        ),
+    ).reshape(P + padP, -1)
     out = jnp.zeros((n_views, n_views, idx_a.shape[1]), bool)
-    out = out.at[pair_i, pair_j].set(filt)
-    out = out.at[pair_j, pair_i].set(filt)
+    out = out.at[pi_p, pj_p].set(filt)
+    out = out.at[pj_p, pi_p].set(filt)
     return out
 
 

@@ -76,7 +76,7 @@ def make_courtyard_scene(
     K = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1.0]], np.float64)
 
     h = room_half
-    wall_y = 6.0  # half-height of the room
+    wall_y = 6.0  # room half-height
     # Planes: (origin P0, unit normal, in-plane u-axis, v-axis, extents).
     planes = [
         # walls at x = +-h, z = +-h
@@ -109,7 +109,13 @@ def make_courtyard_scene(
         ang = ring_fraction * 2.0 * np.pi * v / n_views
         C = ring_radius * np.array([np.sin(ang), 0.0, np.cos(ang)])
         C[1] = 0.4 * np.sin(3.0 * ang)  # mild vertical wobble
-        z_axis = np.array([np.sin(ang), 0.0, np.cos(ang)])  # look outward
+        # Look outward with a fixed yaw offset: a camera looking straight
+        # at one flat wall sees a PLANAR scene (epipolar H/E and DLT-PnP
+        # degenerate — wall-center views measured as the registration
+        # breaks at V=50). The offset keeps a corner (two walls) in every
+        # view, so no view is ever single-plane.
+        la = ang + np.radians(40.0)
+        z_axis = np.array([np.sin(la), 0.0, np.cos(la)])
         x_axis = np.cross([0.0, 1.0, 0.0], z_axis)
         x_axis /= np.linalg.norm(x_axis)
         y_axis = np.cross(z_axis, x_axis)
@@ -122,9 +128,10 @@ def make_courtyard_scene(
             denom = dirs @ n
             with np.errstate(divide="ignore", invalid="ignore"):
                 tt = ((P0 - C) @ n) / denom
-            hitw = C[None, :] + tt[:, None] * dirs
-            a = (hitw - P0) @ u
-            b = (hitw - P0) @ vv
+                tt = np.where(np.isfinite(tt), tt, -1.0)
+                hitw = C[None, :] + tt[:, None] * dirs
+                a = (hitw - P0) @ u
+                b = (hitw - P0) @ vv
             ok = (
                 (tt > 0.05) & np.isfinite(tt)
                 & (np.abs(a) < eu) & (np.abs(b) < ev)

@@ -18,10 +18,10 @@ import os
 import sys
 import time
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache"),
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache")
 )
 
 
