@@ -257,6 +257,40 @@ def _register_adjust_step(
     return state, stats
 
 
+@functools.partial(jax.jit, static_argnames=("config", "n_views"))
+def _score_and_prefilter(
+    k_score: jax.Array,
+    k_pref: jax.Array,
+    strict,  # PairMatches at the reference ratio (scoring input)
+    loose_idx_a: jnp.ndarray,
+    loose_idx_b: jnp.ndarray,
+    loose_valid: jnp.ndarray,
+    keypoints_xy: jnp.ndarray,
+    pair_i: jnp.ndarray,
+    pair_j: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    image_max_dim: jnp.ndarray,
+    config: PipelineConfig,
+    n_views: int,
+):
+    """Pair scoring + the all-pairs epipolar prefilter in ONE dispatch.
+
+    Both consume the same match tables immediately after matching; the
+    split form paid an extra tunnel round-trip and an extra program in
+    the warmup budget (the axon service compiles serialized,
+    30-500 s/program at first execution)."""
+    scores = score_pairs(
+        k_score, strict, keypoints_xy, pair_i, pair_j, K, dist,
+        image_max_dim, config,
+    )
+    vt_loose = epipolar_prefilter_table(
+        k_pref, loose_idx_a, loose_idx_b, loose_valid, keypoints_xy,
+        pair_i, pair_j, K, dist, config, n_views,
+    )
+    return scores, vt_loose
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -742,24 +776,23 @@ class SfMPipeline:
         t0 = time.time()
         key = jax.random.key(cfg.geometry.seed)
         k_score, k_reg = jax.random.split(key, 2)
-        scores = score_pairs(
-            k_score, strict, kp.xy, jnp.asarray(pi), jnp.asarray(pj), K,
-            dist, jnp.asarray(max_dim, jnp.float32), cfg,
+        pi_j, pj_j = jnp.asarray(pi), jnp.asarray(pj)
+        # Scoring + the all-pairs epipolar prefilter fused into one
+        # dispatch (both read the fresh match tables; registration then
+        # consumes the pre-filtered loose table instead of re-deriving
+        # the consensus per (new, done) pair — r3's dominant
+        # incremental-stage compute).
+        scores, vt_loose = _score_and_prefilter(
+            k_score, jax.random.fold_in(key, 0x9E1F), strict,
+            matches.idx_a, matches.idx_b, matches.valid, kp.xy,
+            pi_j, pj_j, K, dist, jnp.asarray(max_dim, jnp.float32),
+            cfg, V,
         )
 
         # Match tables + keys are needed by seed validation (third-view
         # registration), so they are built before the first bootstrap.
-        pi_j, pj_j = jnp.asarray(pi), jnp.asarray(pj)
-        ft_a, ft_b, vt_loose = build_match_tables(matches, pi_j, pj_j, V)
+        ft_a, ft_b, _ = build_match_tables(matches, pi_j, pj_j, V)
         _, _, vt_strict = build_match_tables(strict, pi_j, pj_j, V)
-        # Epipolar consensus for every pair, ONCE (one batched dispatch):
-        # registration consumes the pre-filtered loose table instead of
-        # re-deriving the consensus per (new, done) pair inside every
-        # per-view step (r3's dominant incremental-stage compute).
-        vt_loose = epipolar_prefilter_table(
-            jax.random.fold_in(key, 0x9E1F), matches.idx_a, matches.idx_b,
-            matches.valid, kp.xy, pi_j, pj_j, K, dist, cfg, V,
-        )
         tables = (ft_a, ft_b, vt_strict, vt_loose)
         keys = jax.random.split(k_reg, V * 32)
         self._key_n = 0
